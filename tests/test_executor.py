@@ -1,0 +1,113 @@
+"""Interpreter semantics tests (mirrors reference executor.rs:328-417) plus
+Python vs native C++ engine differential tests."""
+
+import numpy as np
+import pytest
+
+from zkvm_brainfuck_tpu import test_artifacts as ta
+from zkvm_brainfuck_tpu.core.executor import ExecutionError, execute_python
+from zkvm_brainfuck_tpu.core.program import Program
+
+
+def run(src, inp=b"", engine="python"):
+    prog = Program.from_source(src)
+    if engine == "python":
+        return execute_python(prog, inp)
+    from zkvm_brainfuck_tpu.core.native import execute_native
+
+    return execute_native(prog, inp)
+
+
+def test_program_bracket_resolution():
+    p = Program.from_source("[-[+]]")
+    # '[' op_a = index of matching ']' (patched before the ']' push);
+    # ']' op_a = index after the matching '['
+    assert p.instructions[0].op_a == 5
+    assert p.instructions[2].op_a == 4
+    assert p.instructions[4].op_a == 3
+    assert p.instructions[5].op_a == 1
+
+
+def test_add_sub_run():
+    rec = run("++-.")
+    assert rec.output_stream == bytes([1])
+
+
+def test_mem_run():
+    rec = run(">><")
+    assert rec.cpu.next_mp[-1] == 1
+
+
+def test_jmp_run():
+    # cell 0 == 0: '[' jumps TO the ']' (cycle 1), whose zero-check falls
+    # through to pc+1 == len (cycle 2) - matches reference executor.rs:352-358.
+    rec = run("[----]", b"\x01")
+    assert rec.global_clk == 2
+
+
+def test_io_run():
+    rec = run(",.", b"\x01")
+    assert rec.output_stream == bytes([1])
+
+
+def test_printa():
+    rec = run(ta.PRINTA_BF)
+    assert rec.output_stream == b"A"
+
+
+def test_move():
+    rec = run(ta.MOVE_BF)
+    assert rec.output_stream == bytes([2, 0])
+
+
+def test_loop():
+    rec = run(ta.LOOP_BF)
+    assert rec.cpu.next_pc[-1] == 9
+    assert rec.output_stream == bytes([0])
+
+
+def test_hello():
+    rec = run(ta.HELLO_BF)
+    assert rec.output_stream == b"Hello"
+
+
+def test_fibo():
+    rec = run(ta.FIBO_BF, bytes([17]))
+    assert rec.output_stream == bytes([85])
+
+
+def test_input_exhausted():
+    with pytest.raises(ExecutionError):
+        run(",", b"")
+
+
+def test_clk_and_timestamps():
+    rec = run("+.")
+    # cycle 0: '+' reads at clk 1, writes at clk 2; cycle 1: '.' reads at clk 3
+    assert rec.cpu.mv_prev_ts[0] == 0 and rec.cpu.next_mv_prev_ts[0] == 1
+    assert rec.cpu.mv_prev_ts[1] == 2
+    assert rec.memory.initial_ts[0] == 0 and rec.memory.final_ts[0] == 3
+    assert rec.memory.final_value[0] == 1
+
+
+@pytest.mark.parametrize(
+    "src,inp",
+    [
+        (ta.FIBO_BF, bytes([17])),
+        (ta.HELLO_BF, b""),
+        (ta.LOOP_BF, b""),
+        (ta.MOVE_BF, b""),
+        (ta.PRINTA_BF, b""),
+        ("[----]", b"\x01"),
+        (",.", b"\x07"),
+    ],
+)
+def test_native_matches_python(src, inp):
+    a = run(src, inp, engine="python")
+    b = run(src, inp, engine="native")
+    assert a.output_stream == b.output_stream
+    assert a.global_clk == b.global_clk
+    for fld in a.cpu.__dataclass_fields__:
+        assert np.array_equal(getattr(a.cpu, fld), getattr(b.cpu, fld)), fld
+    for fld in a.memory.__dataclass_fields__:
+        assert np.array_equal(getattr(a.memory, fld), getattr(b.memory, fld)), fld

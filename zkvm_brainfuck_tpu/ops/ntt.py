@@ -1,0 +1,133 @@
+"""Radix-2 NTT / LDE over KoalaBear for column batches, TPU-shaped.
+
+Replaces the reference's `Radix2DitParallel` DFT (kb31_poseidon2.rs:30).
+
+Data layout: matrices are (rows, cols) uint32 Montgomery; the transform runs
+down the row axis for all columns at once.  Each butterfly stage is one
+reshape + constant-multiply + add/sub over the whole matrix - pure VPU work
+that XLA fuses across stages inside a single jit.  Twiddle tables are computed
+host-side once per size and cached on device.
+
+Conventions (matching p3 two-adic domains):
+- `ntt(coeffs)` returns evaluations in NATURAL order over H_n
+  (points g^0, g^1, ..., g = two_adic_generator(log_n)); `intt` inverts.
+- `coset_lde(evals, log_blowup, shift)` maps evaluations over H_n to
+  evaluations over shift*H_{n<<b} in natural order (the PCS commits these in
+  bit-reversed row order; see ops/merkle.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import field as f
+from .field import P
+
+
+@lru_cache(maxsize=None)
+def bit_reversal_perm(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@lru_cache(maxsize=None)
+def _twiddles(log_n: int, inverse: bool):
+    """Per-stage twiddle tables (monty), stage s has 2^(s-1) entries."""
+    tables = []
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        w = f.two_adic_root(s)
+        if inverse:
+            w = pow(w, m - 1, P)  # w^-1
+        tw = f.powers_host(w, m // 2)
+        tables.append(jnp.asarray(f.np_to_monty(tw)))
+    return tables
+
+
+def bit_reverse_rows(x):
+    n = x.shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    return x[jnp.asarray(bit_reversal_perm(log_n))]
+
+
+@partial(jax.jit, static_argnames=("inverse",))
+def _ntt_jit(x, inverse: bool):
+    n = x.shape[0]
+    log_n = n.bit_length() - 1
+    orig_shape = x.shape
+    x = x.reshape(n, -1)
+    cols = x.shape[1]
+    x = x[jnp.asarray(bit_reversal_perm(log_n))]
+    tws = _twiddles(log_n, inverse)
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        half = m // 2
+        y = x.reshape(n // m, m, cols)
+        u = y[:, :half, :]
+        v = f.fmul(y[:, half:, :], tws[s - 1][None, :, None])
+        x = jnp.concatenate([f.fadd(u, v), f.fsub(u, v)], axis=1).reshape(n, cols)
+    if inverse:
+        n_inv = f.monty_of(pow(n, P - 2, P))
+        x = f.fmul(x, jnp.uint32(n_inv))
+    return x.reshape(orig_shape)
+
+
+def ntt(coeffs):
+    """Coefficients -> evaluations over H_n (natural order). Shape (n, ...)."""
+    if coeffs.shape[0] == 1:
+        return coeffs
+    return _ntt_jit(coeffs, False)
+
+
+def intt(evals):
+    """Evaluations over H_n (natural order) -> coefficients."""
+    if evals.shape[0] == 1:
+        return evals
+    return _ntt_jit(evals, True)
+
+
+@lru_cache(maxsize=None)
+def _shift_powers(shift: int, n: int):
+    return jnp.asarray(f.np_to_monty(f.powers_host(shift, n)))
+
+
+@partial(jax.jit, static_argnames=("log_blowup", "shift"))
+def coset_lde(evals, log_blowup: int, shift: int = f.GENERATOR):
+    """Evals over H_n -> evals over shift*H_{n<<log_blowup} (natural order).
+
+    p(shift*x) over the larger subgroup: coeffs scaled by shift^i, zero-padded.
+    """
+    n = evals.shape[0]
+    coeffs = intt(evals)
+    sp = _shift_powers(shift, n)
+    coeffs = f.fmul(coeffs, sp.reshape((n,) + (1,) * (evals.ndim - 1)))
+    pad = [(0, n * ((1 << log_blowup) - 1))] + [(0, 0)] * (evals.ndim - 1)
+    coeffs = jnp.pad(coeffs, pad)
+    return ntt(coeffs)
+
+
+def eval_coeffs_at_ext_point(coeffs_cols, zeta):
+    """Evaluate column polynomials (coeff form, (n, C) base) at an EF4 point.
+
+    Horner over rows with EF4 accumulator; returns (C, 4) EF4 values.
+    Used for out-of-domain openings.
+    """
+    from . import ext as e
+
+    n, c = coeffs_cols.shape
+    acc = e.ezeros((c,))
+
+    def body(i, acc):
+        row = coeffs_cols[n - 1 - i]  # (C,)
+        return e.eadd_base(e.emul(acc, jnp.broadcast_to(zeta, (c, 4))), row)
+
+    return jax.lax.fori_loop(0, n, body, acc)
