@@ -351,10 +351,9 @@ class SymbolicBuilder(_BuilderBase):
         self.get_prep_next = mk(True, True)
         self.get_main_local = mk(False, False)
         self.get_main_next = mk(False, True)
-        sel = V(SymBackend, SymExpr.selector())
-        self.is_first_row = sel
-        self.is_last_row = sel
-        self.is_transition = sel
+        self.is_first_row = V(SymBackend, SymExpr.selector(1))
+        self.is_last_row = V(SymBackend, SymExpr.selector(1))
+        self.is_transition = V(SymBackend, SymExpr.selector(0))
         self.max_degree = 0
         self.sends: List[Lookup] = []
         self.receives: List[Lookup] = []

@@ -40,8 +40,11 @@ class SymExpr:
         return SymExpr(1, (0, (((is_prep, idx), 1),)))
 
     @staticmethod
-    def selector() -> "SymExpr":
-        return SymExpr(1, None)
+    def selector(degree: int = 1) -> "SymExpr":
+        """Lagrange selectors: is_first/last_row count as one trace-degree
+        multiple; is_transition (x - g^{n-1}) counts as zero (p3
+        symbolic_expression.rs degree_multiple semantics)."""
+        return SymExpr(degree, None)
 
     def _lift(self, other):
         if isinstance(other, SymExpr):
