@@ -132,7 +132,7 @@ def verify_batch(
 
     by_height = {}
     for (h, _w), row in zip(dims, opened_rows):
-        by_height.setdefault(h, []).append(list(row))
+        by_height.setdefault(h, []).append([int(v) for v in row])
 
     curr = p2.hash_host([v for row in by_height[max_h] for v in row])
     idx = index

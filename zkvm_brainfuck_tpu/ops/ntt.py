@@ -40,7 +40,7 @@ def bit_reversal_perm(log_n: int) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def _twiddles(log_n: int, inverse: bool):
-    """Per-stage twiddle tables (monty), stage s has 2^(s-1) entries."""
+    """Per-stage twiddle tables (monty numpy), stage s has 2^(s-1) entries."""
     tables = []
     for s in range(1, log_n + 1):
         m = 1 << s
@@ -48,7 +48,7 @@ def _twiddles(log_n: int, inverse: bool):
         if inverse:
             w = pow(w, m - 1, P)  # w^-1
         tw = f.powers_host(w, m // 2)
-        tables.append(jnp.asarray(f.np_to_monty(tw)))
+        tables.append(f.np_to_monty(tw))
     return tables
 
 
@@ -97,7 +97,7 @@ def intt(evals):
 
 @lru_cache(maxsize=None)
 def _shift_powers(shift: int, n: int):
-    return jnp.asarray(f.np_to_monty(f.powers_host(shift, n)))
+    return f.np_to_monty(f.powers_host(shift, n))  # numpy: jit-trace safe
 
 
 @partial(jax.jit, static_argnames=("log_blowup", "shift"))

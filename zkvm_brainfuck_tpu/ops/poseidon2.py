@@ -127,7 +127,8 @@ def permute_host(state):
 def hash_host(values):
     """PaddingFreeSponge 16/8/8 over canonical ints -> 8-int digest."""
     state = [0] * WIDTH
-    vals = list(values)
+    # exact Python ints (numpy uint32 scalars would wrap mod 2^32)
+    vals = [int(v) for v in values]
     for i in range(0, len(vals), RATE):
         chunk = vals[i : i + RATE]
         state[: len(chunk)] = chunk
@@ -137,7 +138,7 @@ def hash_host(values):
 
 def compress_host(left, right):
     """TruncatedPermutation<2, 8, 16>: permute(concat) and truncate."""
-    state = list(left) + list(right)
+    state = [int(v) for v in left] + [int(v) for v in right]
     assert len(state) == WIDTH
     return permute_host(state)[:OUT]
 
@@ -149,16 +150,12 @@ def compress_host(left, right):
 
 @lru_cache(maxsize=None)
 def _device_constants():
+    # numpy (not jnp): safe to cache across jit traces
     rc_init = f.np_to_monty(np.array(RC_INITIAL, dtype=np.uint32))
     rc_int = f.np_to_monty(np.array(RC_INTERNAL, dtype=np.uint32))
     rc_term = f.np_to_monty(np.array(RC_TERMINAL, dtype=np.uint32))
     diag = f.np_to_monty(np.array(INTERNAL_DIAG, dtype=np.uint32))
-    return (
-        jnp.asarray(rc_init),
-        jnp.asarray(rc_int),
-        jnp.asarray(rc_term),
-        jnp.asarray(diag),
-    )
+    return rc_init, rc_int, rc_term, diag
 
 
 def _d_m4(cols):
@@ -195,23 +192,33 @@ def _d_sbox(x):
 
 @jax.jit
 def permute(state):
-    """Batched Poseidon2: state (..., 16) uint32 Montgomery -> same shape."""
+    """Batched Poseidon2: state (..., 16) uint32 Montgomery -> same shape.
+
+    Rounds are rolled with fori_loop (stacked round constants) to keep the
+    traced graph small - an unrolled permutation is ~15k primitive ops and
+    makes XLA compiles take tens of seconds per batch shape.
+    """
     rc_init, rc_int, rc_term, diag = _device_constants()
-    s = _d_external_linear(state)
-    for r in range(4):
-        s = _d_sbox(f.fadd(s, rc_init[r]))
-        s = _d_external_linear(s)
-    for r in range(ROUNDS_P):
+    rc_init = jnp.asarray(rc_init)
+    rc_int = jnp.asarray(rc_int)
+    rc_term = jnp.asarray(rc_term)
+    diag = jnp.asarray(diag)
+
+    def ext_round(s, rc_row):
+        return _d_external_linear(_d_sbox(f.fadd(s, rc_row)))
+
+    def int_round(r, s):
         s0 = _d_sbox(f.fadd(s[..., 0], rc_int[r]))
         s = jnp.concatenate([s0[..., None], s[..., 1:]], axis=-1)
-        # sum via tree reduction
         tot = s[..., 0]
         for i in range(1, WIDTH):
             tot = f.fadd(tot, s[..., i])
-        s = f.fadd(f.fmul(s, diag), tot[..., None])
-    for r in range(4):
-        s = _d_sbox(f.fadd(s, rc_term[r]))
-        s = _d_external_linear(s)
+        return f.fadd(f.fmul(s, diag), tot[..., None])
+
+    s = _d_external_linear(state)
+    s = jax.lax.fori_loop(0, 4, lambda r, s: ext_round(s, rc_init[r]), s)
+    s = jax.lax.fori_loop(0, ROUNDS_P, int_round, s)
+    s = jax.lax.fori_loop(0, 4, lambda r, s: ext_round(s, rc_term[r]), s)
     return s
 
 

@@ -1,0 +1,110 @@
+"""End-to-end prover orchestration (reference: crates/prover/).
+
+`BfProver` ties the executor front-end to the STARK machine: setup parses the
+guest source into keys, execute runs the interpreter only, prove runs the full
+pipeline and logs the summary line (cycles / e2e ms / kHz / proof size,
+matching utils/prove.rs:50-56), verify enforces the CPU-chip presence and the
+2^22 max log degree (crates/prover/src/verify.rs:16-28).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from .core.executor import execute
+from .core.program import Program
+from .models.machine_def import brainfuck_chips
+from .stark.config import KoalaBearPoseidon2
+from .stark.fri import VerificationFailure
+from .stark.machine import StarkMachine, StarkProvingKey, StarkVerifyingKey
+from .stark.prover import TpuProver
+from .stark.types import MachineProof
+from .utils.report import generate_execution_report
+
+log = logging.getLogger("zkbf.prover")
+
+# Max CPU trace log-degree: lookup multiplicity overflow bound
+# (reference crates/core/machine/src/cpu/mod.rs:8).
+MAX_CPU_LOG_DEGREE = 22
+
+
+@dataclass
+class BfVerifyingKey:
+    vk: StarkVerifyingKey
+
+
+@dataclass
+class BfProvingKey:
+    pk: StarkProvingKey
+    elf: str
+    vk: BfVerifyingKey
+
+
+@dataclass
+class BfCoreProof:
+    proof: MachineProof
+    stdin: bytes
+    public_values: bytes
+    cycles: int
+
+
+class BfProver:
+    def __init__(self, config: Optional[KoalaBearPoseidon2] = None):
+        self.config = config or KoalaBearPoseidon2()
+        self.machine = StarkMachine(self.config, brainfuck_chips())
+        self.core_prover = TpuProver(self.machine)
+
+    def setup(self, elf: str) -> Tuple[BfProvingKey, BfVerifyingKey]:
+        program = Program.from_source(elf)
+        pk, vk = self.core_prover.setup(program)
+        bf_vk = BfVerifyingKey(vk=vk)
+        return BfProvingKey(pk=pk, elf=elf, vk=bf_vk), bf_vk
+
+    def execute(self, elf: str, stdin: bytes) -> bytes:
+        program = Program.from_source(elf)
+        record = execute(program, stdin)
+        return record.output_stream
+
+    def prove(self, pk: BfProvingKey, stdin: bytes) -> BfCoreProof:
+        program = Program.from_source(pk.elf)
+        record = execute(program, stdin)
+
+        challenger = self.config.challenger()
+        t0 = time.time()
+        proof = self.core_prover.prove(pk.pk, record, challenger)
+        elapsed_ms = (time.time() - t0) * 1000
+        nb_bytes = len(proof.to_bytes())
+        log.info(
+            "summary: cycles=%d, e2e=%dms, khz=%.2f, proofSize=%d",
+            record.global_clk,
+            int(elapsed_ms),
+            record.global_clk / max(elapsed_ms, 1e-9),
+            nb_bytes,
+        )
+        for line in generate_execution_report(record.opcode_counts()):
+            log.debug("%s", line)
+
+        if os.environ.get("BF_DEBUG", "").lower() in ("1", "true"):
+            self.machine.debug_constraints(program, record)
+
+        return BfCoreProof(
+            proof=proof,
+            stdin=bytes(stdin),
+            public_values=record.output_stream,
+            cycles=record.global_clk,
+        )
+
+    def verify(self, proof: MachineProof, vk: BfVerifyingKey) -> None:
+        sp = proof.shard_proof
+        if not sp.contains_cpu():
+            raise VerificationFailure("missing CPU chip in shard")
+        if sp.log_degree_cpu() > MAX_CPU_LOG_DEGREE:
+            raise VerificationFailure(
+                f"CPU log degree {sp.log_degree_cpu()} > {MAX_CPU_LOG_DEGREE}"
+            )
+        challenger = self.config.challenger()
+        self.machine.verify(vk.vk, proof, challenger)

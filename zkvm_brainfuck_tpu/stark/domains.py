@@ -1,0 +1,128 @@
+"""Two-adic multiplicative coset domains + Lagrange selectors.
+
+Counterpart of p3's TwoAdicMultiplicativeCoset as used by the reference PCS
+(natural_domain_for_degree, create_disjoint_domain, split_domains,
+selectors_at_point / selectors_on_coset, zp_at_point, next_point).
+
+A domain is (log_n, shift): the points shift * g^i, g = two_adic_generator.
+Selectors follow p3's unshifted convention: with u = x / shift,
+Z(u) = u^n - 1, first = Z/(u-1), last = Z/(u - g^{-1}), transition = u - g^{-1}.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ext as xe
+from ..ops import field as xf
+from ..ops.field import GENERATOR, P
+from . import ef_host as efh
+
+
+@dataclass(frozen=True)
+class Domain:
+    log_n: int
+    shift: int = 1
+
+    @property
+    def size(self) -> int:
+        return 1 << self.log_n
+
+    @property
+    def gen(self) -> int:
+        return xf.two_adic_root(self.log_n)
+
+    def first_point(self) -> int:
+        return self.shift
+
+    def next_point_ef(self, zeta):
+        """g * zeta for an EF4 point (host tuple)."""
+        return efh.mul_base(zeta, self.gen)
+
+    def create_disjoint_domain(self, min_size: int) -> "Domain":
+        return Domain(
+            log_n=(min_size - 1).bit_length(),
+            shift=self.shift * GENERATOR % P,
+        )
+
+    def split_domains(self, n_chunks: int) -> list:
+        log_chunks = n_chunks.bit_length() - 1
+        g = self.gen
+        return [
+            Domain(self.log_n - log_chunks, self.shift * pow(g, k, P) % P)
+            for k in range(n_chunks)
+        ]
+
+    # -- host (EF point) selectors ---------------------------------------
+
+    def zp_at_point_ef(self, point):
+        """Z(point) = (point/shift)^n - 1 for an EF4 point."""
+        u = efh.mul_base(point, pow(self.shift, P - 2, P))
+        return efh.add_base(efh.epow(u, self.size), P - 1)
+
+    def selectors_at_point_ef(self, point):
+        u = efh.mul_base(point, pow(self.shift, P - 2, P))
+        z_h = efh.add_base(efh.epow(u, self.size), P - 1)
+        g_inv = pow(self.gen, P - 2, P)
+        first_den = efh.add_base(u, P - 1)
+        last_den = efh.add_base(u, P - g_inv)
+        return {
+            "is_first_row": efh.mul(z_h, efh.inv(first_den)),
+            "is_last_row": efh.mul(z_h, efh.inv(last_den)),
+            "is_transition": last_den,
+            "inv_zeroifier": efh.inv(z_h),
+        }
+
+    # -- device (whole-coset) selectors ----------------------------------
+
+    def points_host(self) -> np.ndarray:
+        """All domain points, natural order, canonical uint32."""
+        pows = xf.powers_host(self.gen, self.size)
+        return (pows.astype(np.uint64) * self.shift % P).astype(np.uint32)
+
+
+@lru_cache(maxsize=None)
+def selectors_on_coset(trace_log_n: int, coset_log_n: int, coset_shift: int):
+    """Selectors of the trace domain H_n (shift 1) over a larger coset.
+
+    Returns dict of (coset_size,) Montgomery device arrays. Matches p3
+    selectors_on_coset (quotient.rs usage). Cached per shape.
+    """
+    assert coset_shift != 1
+    n = 1 << trace_log_n
+    coset = Domain(coset_log_n, coset_shift)
+    x = coset.points_host().astype(np.uint64)  # u = x (trace shift 1)
+    z_h = (pow(coset_shift, n, P) * pow_array(xf.two_adic_root(coset_log_n), n, coset.size) - 1) % P
+    g_inv = pow(xf.two_adic_root(trace_log_n), P - 2, P)
+    first_den = (x + P - 1) % P
+    last_den = (x + P - g_inv) % P
+
+    z_h_m = xf.to_monty(jnp.asarray(z_h.astype(np.uint32)))
+    first_m = xf.to_monty(jnp.asarray(first_den.astype(np.uint32)))
+    last_m = xf.to_monty(jnp.asarray(last_den.astype(np.uint32)))
+    inv_zh = xf.finv(z_h_m)
+    return {
+        "is_first_row": xf.fmul(z_h_m, xf.finv(first_m)),
+        "is_last_row": xf.fmul(z_h_m, xf.finv(last_m)),
+        "is_transition": last_m,
+        "inv_zeroifier": inv_zh,
+    }
+
+
+def pow_array(g: int, e: int, size: int) -> np.ndarray:
+    """(g^e)^i for i in 0..size (uint64). g^e has small order: tiled."""
+    ge = pow(g, e, P)
+    order = 1
+    acc = ge
+    while acc != 1:
+        acc = acc * ge % P
+        order += 1
+        if order > size:
+            break
+    base = xf.powers_host(ge, min(order, size)).astype(np.uint64)
+    reps = (size + len(base) - 1) // len(base)
+    return np.tile(base, reps)[:size]

@@ -1,0 +1,203 @@
+"""FRI low-degree test: device-side commit phase, host-side query checks.
+
+Protocol shape mirrors p3's TwoAdicFriPcs FRI (two-adic, arity-2 folds,
+commit-per-layer, final constant, PoW grind, per-query sibling walks):
+
+- Vectors are evaluations over pretend subgroups H_h (the uniform GENERATOR
+  coset shift of every committed LDE is absorbed into the polynomial - FRI
+  tests f~(x) = f(G x), same degree).  Natural order on device; committed
+  layers pair (f(x), f(-x)) at bit-reversed positions as a width-8 base
+  matrix (EF4 flattened).
+- fold: f'(x^2) = (f(x)+f(-x))/2 + beta * (f(x)-f(-x))/(2x), one fused
+  device expression per layer; queries then walk index >> 1 per layer.
+- Reduced-opening inputs at smaller heights join right after the fold that
+  reaches their height (p3 commit-phase semantics).
+
+Security parameters from the reference config (kb31_poseidon2.rs:53-64):
+log_blowup 1, 84 queries (FRI_QUERIES env), 16 PoW bits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ext as xe
+from ..ops import field as xf
+from ..ops import merkle as mk
+from ..ops import ntt as nt
+from ..ops.field import P
+from . import ef_host as efh
+from .challenger import DuplexChallenger
+
+
+@lru_cache(maxsize=None)
+def _half_xinv(log_h: int):
+    """half * g_h^{-i} for i < h/2, Montgomery device array."""
+    h = 1 << log_h
+    g_inv = pow(xf.two_adic_root(log_h), P - 2, P)
+    half = pow(2, P - 2, P)
+    pows = xf.powers_host(g_inv, h // 2).astype(np.uint64)
+    return xf.np_to_monty(((pows * half) % P).astype(np.uint32))
+
+
+def fold_layer(v, beta_dev):
+    """One FRI fold on a natural-order EF4 layer (h, 4) -> (h/2, 4)."""
+    h = v.shape[0]
+    log_h = h.bit_length() - 1
+    u = v[: h // 2]
+    w = v[h // 2 :]
+    half = jnp.uint32(xf.monty_of(pow(2, P - 2, P)))
+    s = xe.emul_base(xe.eadd(u, w), half)
+    d = xe.emul_base(xe.esub(u, w), _half_xinv(log_h))
+    return xe.eadd(s, xe.emul(jnp.broadcast_to(jnp.asarray(beta_dev), (h // 2, 4)), d))
+
+
+def _commit_layer_matrix(v):
+    """Natural EF4 layer -> (h/2, 8) base matrix of bit-reversed (f(x), f(-x))."""
+    br = nt.bit_reverse_rows(v)  # (h, 4)
+    return br.reshape(v.shape[0] // 2, 8)
+
+
+@dataclass
+class FriProof:
+    commit_phase_commits: List[np.ndarray]  # (8,) roots
+    final_poly: Tuple[int, int, int, int]
+    pow_witness: int
+    # per query: list over layers of (pair_row(8 ints), path (L,8))
+    query_commit_openings: List[List[Tuple[np.ndarray, np.ndarray]]]
+
+
+def fri_prove(
+    inputs: Dict[int, jnp.ndarray],  # log_h -> (h,4) Monty EF natural order
+    challenger: DuplexChallenger,
+    log_blowup: int,
+    num_queries: int,
+    pow_bits: int,
+):
+    """Returns (FriProof, query_indices)."""
+    heights = sorted(inputs.keys(), reverse=True)
+    log_max = heights[0]
+    current = inputs[log_max]
+
+    trees: List[mk.MerkleTree] = []
+    roots: List[np.ndarray] = []
+    betas: List[tuple] = []
+    while current.shape[0] > (1 << log_blowup):
+        mat = _commit_layer_matrix(current)
+        tree = mk.commit([mat])
+        trees.append(tree)
+        roots.append(tree.root)
+        challenger.observe_commitment([int(x) for x in tree.root])
+        beta = challenger.sample_ext()
+        betas.append(beta)
+        beta_dev = xf.to_monty(jnp.asarray(np.array(beta, np.uint32)))
+        current = fold_layer(current, beta_dev)
+        log_h = current.shape[0].bit_length() - 1
+        if log_h in inputs and (1 << log_h) < (1 << log_max):
+            current = xe.eadd(current, inputs[log_h])
+
+    final_host = np.asarray(xf.from_monty(current))
+    final_poly = tuple(int(x) for x in final_host[0])
+    for v in final_host:
+        assert tuple(int(x) for x in v) == final_poly, "final layer not constant"
+    for c in final_poly:
+        challenger.observe(c)
+    pow_witness = challenger.grind(pow_bits)
+    indices = [challenger.sample_bits(log_max) for _ in range(num_queries)]
+
+    # Commit-phase query openings.
+    idx = np.asarray(indices, np.int64)
+    per_layer = []
+    for tree in trees:
+        rows, paths = mk.open_batch(tree, idx >> 1)
+        per_layer.append((rows[0], paths))
+        idx = idx >> 1
+    query_commit_openings = []
+    for q in range(num_queries):
+        query_commit_openings.append(
+            [(per_layer[l][0][q], per_layer[l][1][q]) for l in range(len(trees))]
+        )
+
+    return (
+        FriProof(
+            commit_phase_commits=roots,
+            final_poly=final_poly,
+            pow_witness=pow_witness,
+            query_commit_openings=query_commit_openings,
+        ),
+        indices,
+    )
+
+
+def fri_verify_transcript(
+    proof: FriProof,
+    challenger: DuplexChallenger,
+    log_max: int,
+    num_queries: int,
+    pow_bits: int,
+):
+    """Replay the FRI transcript; returns (betas, query_indices) or raises."""
+    betas = []
+    for root in proof.commit_phase_commits:
+        challenger.observe_commitment([int(x) for x in root])
+        betas.append(challenger.sample_ext())
+    for c in proof.final_poly:
+        challenger.observe(int(c))
+    if not challenger.check_witness(pow_bits, proof.pow_witness):
+        raise VerificationFailure("FRI proof-of-work check failed")
+    indices = [challenger.sample_bits(log_max) for _ in range(num_queries)]
+    return betas, indices
+
+
+@lru_cache(maxsize=None)
+def _rev(log_n: int):
+    return nt.bit_reversal_perm(log_n)
+
+
+def fri_check_query(
+    proof: FriProof,
+    q: int,
+    index: int,
+    betas,
+    log_max: int,
+    log_blowup: int,
+    ro_at_height,  # callable: log_h -> EF value of the reduced opening at this query
+):
+    """Walk one query's fold chain (host EF); raises on mismatch."""
+    openings = proof.query_commit_openings[q]
+    half = pow(2, P - 2, P)
+    e = ro_at_height(log_max)
+    idx = index
+    log_h = log_max
+    for l, (root, (pair_row, path)) in enumerate(zip(proof.commit_phase_commits, openings)):
+        pair = [int(x) for x in pair_row]
+        if not mk.verify_batch(
+            root, [(1 << (log_h - 1), 8)], idx >> 1, [pair], path
+        ):
+            raise VerificationFailure(f"FRI query {q}: bad Merkle path at layer {l}")
+        e0 = tuple(pair[0:4])
+        e1 = tuple(pair[4:8])
+        mine = e1 if idx & 1 else e0
+        if mine != e:
+            raise VerificationFailure(f"FRI query {q}: folded value mismatch at layer {l}")
+        # x~ = g_h^{rev_h(idx & ~1)}
+        xt = pow(xf.two_adic_root(log_h), int(_rev(log_h)[idx & ~1]), P)
+        s = efh.mul_base(efh.add(e0, e1), half)
+        d = efh.mul_base(efh.sub(e0, e1), half * pow(xt, P - 2, P) % P)
+        e = efh.add(s, efh.mul(betas[l], d))
+        idx >>= 1
+        log_h -= 1
+        ro = ro_at_height(log_h)
+        if ro is not None:
+            e = efh.add(e, ro)
+    if e != tuple(int(x) for x in proof.final_poly):
+        raise VerificationFailure(f"FRI query {q}: final value != final_poly")
+
+
+class VerificationFailure(Exception):
+    pass

@@ -1,0 +1,79 @@
+"""Proof containers (reference: crates/stark/src/types.rs) + serialization."""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .pcs import PcsProof
+
+# No public values in the transcript (reference types.rs:64).
+PROOF_MAX_NUM_PVS = 0
+
+
+@dataclass
+class AirOpenedValues:
+    local: List[tuple]  # EF4 tuples per column
+    next: List[tuple]
+
+
+@dataclass
+class ChipOpenedValues:
+    preprocessed: AirOpenedValues
+    main: AirOpenedValues
+    permutation: AirOpenedValues  # flattened base columns (PW*4)
+    quotient: List[List[tuple]]  # per chunk, per base column (4), EF values
+    cumulative_sum: tuple
+    log_degree: int
+
+
+@dataclass
+class ShardCommitment:
+    main_commit: List[int]
+    permutation_commit: List[int]
+    quotient_commit: List[int]
+
+
+@dataclass
+class ShardProof:
+    commitment: ShardCommitment
+    opened_values: List[ChipOpenedValues]
+    opening_proof: PcsProof
+    chip_ordering: Dict[str, int]
+
+    def cumulative_sum(self) -> tuple:
+        from . import ef_host as efh
+
+        acc = efh.ZERO
+        for c in self.opened_values:
+            acc = efh.add(acc, c.cumulative_sum)
+        return acc
+
+    def contains_cpu(self) -> bool:
+        return "Cpu" in self.chip_ordering
+
+    def log_degree_cpu(self) -> int:
+        idx = self.chip_ordering["Cpu"]
+        return self.opened_values[idx].log_degree
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(self)
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "ShardProof":
+        return pickle.loads(data)
+
+
+@dataclass
+class MachineProof:
+    shard_proof: ShardProof
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(self)
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "MachineProof":
+        return pickle.loads(data)
