@@ -86,8 +86,8 @@ def test_ext_mul_matches_ints():
     n = 512
     a = rand_field(4 * n).reshape(n, 4)
     b = rand_field(4 * n).reshape(n, 4)
-    am, bm = f.to_monty(a), f.to_monty(b)
-    got = np.asarray(f.from_monty(e.emul(am, bm)))
+    am, bm = e.from_array(f.to_monty(a)), e.from_array(f.to_monty(b))
+    got = np.asarray(f.from_monty(e.to_array(e.emul(am, bm))))
     for i in range(0, n, 37):
         want = _ef_int_mul(tuple(int(x) for x in a[i]), tuple(int(x) for x in b[i]))
         assert tuple(int(x) for x in got[i]) == want
@@ -97,9 +97,9 @@ def test_ext_inv():
     n = 256
     a = rand_field(4 * n).reshape(n, 4)
     a[0] = [5, 0, 0, 0]  # base-field element embeds correctly
-    am = f.to_monty(a)
+    am = e.from_array(f.to_monty(a))
     inv = e.einv(am)
-    prod = np.asarray(f.from_monty(e.emul(am, inv)))
+    prod = np.asarray(f.from_monty(e.to_array(e.emul(am, inv))))
     want = np.zeros((n, 4), dtype=np.uint32)
     want[:, 0] = 1
     assert np.array_equal(prod, want)
@@ -107,18 +107,18 @@ def test_ext_inv():
 
 def test_ext_base_ops():
     n = 64
-    a = f.to_monty(rand_field(4 * n).reshape(n, 4))
+    a = e.from_array(f.to_monty(rand_field(4 * n).reshape(n, 4)))
     s = f.to_monty(rand_field(n))
     got = e.emul_base(a, s)
     want = e.emul(a, e.from_base(s))
-    assert np.array_equal(np.asarray(got), np.asarray(want))
+    assert np.array_equal(np.asarray(e.to_array(got)), np.asarray(e.to_array(want)))
     got2 = e.eadd_base(a, s)
     want2 = e.eadd(a, e.from_base(s))
-    assert np.array_equal(np.asarray(got2), np.asarray(want2))
+    assert np.array_equal(np.asarray(e.to_array(got2)), np.asarray(e.to_array(want2)))
 
 
 def test_epow_matches_square_chain():
-    a = f.to_monty(rand_field(4).reshape(1, 4))
+    a = e.from_array(f.to_monty(rand_field(4).reshape(1, 4)))
     x9 = e.epow(a, 9)
     manual = e.emul(e.esquare(e.esquare(e.esquare(a))), a)
-    assert np.array_equal(np.asarray(x9), np.asarray(manual))
+    assert np.array_equal(np.asarray(e.to_array(x9)), np.asarray(e.to_array(manual)))

@@ -1,15 +1,19 @@
 """Quartic extension field EF4 = F_p[x]/(x^4 - 3) over KoalaBear, on TPU.
 
 Matches the reference's challenge field `BinomialExtensionField<KoalaBear, 4>`
-(crates/stark/src/kb31_poseidon2.rs:21).  Elements are uint32 arrays with a
-trailing axis of length 4 (coefficients in the monomial basis, Montgomery
-form).  All ops are elementwise over leading axes so XLA vectorizes them on
-the VPU and fuses them with neighbours.
+(crates/stark/src/kb31_poseidon2.rs:21).
 
-Inverse uses the norm map: a^-1 = (sigma(a) sigma^2(a) sigma^3(a)) / N(a)
-where sigma is the Frobenius x -> x^p, acting diagonally on coefficients via
-powers of c = W^((p-1)/4).  This costs 2 EF multiplies + one base-field
-Fermat inversion - far cheaper than a direct p^4-2 power ladder.
+Representation: an EF4 value is a TUPLE of 4 base-field planes (uint32
+Montgomery arrays of identical shape).  Keeping coefficients as separate
+arrays - instead of a trailing axis built with jnp.stack - matters a lot:
+stack/slice chains inside deep multiply graphs send XLA's CPU pipeline into
+pathological compile times, while plain elementwise planes compile in
+milliseconds and fuse cleanly on the TPU VPU.  Convert to/from the packed
+(..., 4) storage layout only at kernel boundaries with `to_array`/`from_array`.
+
+Inverse uses the norm map: a^-1 = (sigma(a) sigma^2(a) sigma^3(a)) / N(a),
+sigma the Frobenius acting diagonally via powers of c = W^((p-1)/4); cost is
+2 EF multiplies + one base-field Fermat inversion, fully vectorized.
 """
 
 from __future__ import annotations
@@ -24,42 +28,50 @@ _U32 = jnp.uint32
 
 # c = W^((p-1)/4) mod p: the 4th root of unity scaling Frobenius.
 FROB_C = 2113994754
-_FROB_POWERS = [[pow(FROB_C, (i * k) % 4, P) for i in range(4)] for k in range(4)]  # c^4 == 1
-# _FROB_POWERS[k][i] = c^(i*k) canonical; k = Frobenius iterate.
+_FROB_POWERS = [[pow(FROB_C, (i * k) % 4, P) for i in range(4)] for k in range(4)]
 
 D = 4  # extension degree
 
 
 def ezeros(shape=()):
-    return jnp.zeros(tuple(shape) + (4,), dtype=_U32)
+    z = jnp.zeros(shape, dtype=_U32)
+    return (z, z, z, z)
 
 
 def eones(shape=()):
-    z = np.zeros(tuple(shape) + (4,), dtype=np.uint32)
-    z[..., 0] = f.R1  # one in Montgomery form
-    return jnp.asarray(z)
+    return (jnp.full(shape, f.R1, dtype=_U32), *(jnp.zeros(shape, dtype=_U32),) * 3)
 
 
 def from_base(a):
-    """Embed base-field array (Montgomery) into EF4: coefficient 0."""
     a = jnp.asarray(a, _U32)
-    return jnp.stack([a, jnp.zeros_like(a), jnp.zeros_like(a), jnp.zeros_like(a)], axis=-1)
+    z = jnp.zeros_like(a)
+    return (a, z, z, z)
 
 
 def from_coeffs(c0, c1, c2, c3):
-    return jnp.stack([jnp.asarray(x, _U32) for x in (c0, c1, c2, c3)], axis=-1)
+    return tuple(jnp.asarray(x, _U32) for x in (c0, c1, c2, c3))
+
+
+def to_array(a):
+    """Planes -> packed (..., 4) array (storage/commit layout)."""
+    return jnp.stack(list(a), axis=-1)
+
+
+def from_array(arr):
+    """Packed (..., 4) array -> planes."""
+    return tuple(arr[..., i] for i in range(4))
 
 
 def eadd(a, b):
-    return f.fadd(a, b)
+    return tuple(f.fadd(x, y) for x, y in zip(a, b))
 
 
 def esub(a, b):
-    return f.fsub(a, b)
+    return tuple(f.fsub(x, y) for x, y in zip(a, b))
 
 
 def eneg(a):
-    return f.fneg(a)
+    return tuple(f.fneg(x) for x in a)
 
 
 def _triple(x):
@@ -68,26 +80,26 @@ def _triple(x):
 
 def emul(a, b):
     """Full EF4 product (schoolbook, 16 base muls; W=3 folds are adds)."""
-    a0, a1, a2, a3 = (a[..., i] for i in range(4))
-    b0, b1, b2, b3 = (b[..., i] for i in range(4))
+    a0, a1, a2, a3 = a
+    b0, b1, b2, b3 = b
     m = f.fmul
     add = f.fadd
     c0 = add(m(a0, b0), _triple(add(add(m(a1, b3), m(a2, b2)), m(a3, b1))))
     c1 = add(add(m(a0, b1), m(a1, b0)), _triple(add(m(a2, b3), m(a3, b2))))
     c2 = add(add(m(a0, b2), add(m(a1, b1), m(a2, b0))), _triple(m(a3, b3)))
     c3 = add(add(m(a0, b3), m(a1, b2)), add(m(a2, b1), m(a3, b0)))
-    return jnp.stack([c0, c1, c2, c3], axis=-1)
+    return (c0, c1, c2, c3)
 
 
 def emul_base(a, s):
-    """EF4 * base scalar (both Montgomery); s broadcasts across the coeff axis."""
-    return f.fmul(a, jnp.asarray(s, _U32)[..., None])
+    """EF4 * base scalar/array (both Montgomery)."""
+    s = jnp.asarray(s, _U32)
+    return tuple(f.fmul(x, s) for x in a)
 
 
 def eadd_base(a, s):
-    """EF4 + base scalar: adds into coefficient 0."""
-    out0 = f.fadd(a[..., 0], jnp.asarray(s, _U32))
-    return jnp.concatenate([out0[..., None], a[..., 1:]], axis=-1)
+    """EF4 + base: adds into coefficient 0."""
+    return (f.fadd(a[0], jnp.asarray(s, _U32)), a[1], a[2], a[3])
 
 
 def esquare(a):
@@ -105,16 +117,15 @@ def epow(a, e: int):
         if ee:
             base = esquare(base)
     if result is None:
-        return eones(jnp.shape(a)[:-1])
+        return eones(jnp.shape(a[0]))
     return result
 
 
 def _frobenius(a, k: int):
     """a^(p^k): coefficient i scaled by c^(i*k)."""
-    scales = jnp.asarray(
-        [f.monty_of(_FROB_POWERS[k % 4][i]) for i in range(4)], dtype=_U32
+    return tuple(
+        f.fmul(a[i], jnp.uint32(f.monty_of(_FROB_POWERS[k % 4][i]))) for i in range(4)
     )
-    return f.fmul(a, scales)
 
 
 def einv(a):
@@ -123,13 +134,13 @@ def einv(a):
     s2 = _frobenius(a, 2)
     s3 = _frobenius(a, 3)
     b = emul(emul(s1, s2), s3)  # product of conjugates
-    norm = emul(a, b)[..., 0]  # N(a) lands in the base field (coeff 0)
+    norm = emul(a, b)[0]  # N(a) lands in the base field (coeff 0)
     return emul_base(b, f.finv(norm))
 
 
 def monomial(k: int, shape=()):
-    """x^k basis element as an EF4 constant array."""
-    z = np.zeros(tuple(shape) + (4,), dtype=np.uint32)
-    z[..., k % 4] = f.R1 if k < 4 else 0
+    """x^k basis element as EF4 planes."""
     assert 0 <= k < 4
-    return jnp.asarray(z)
+    planes = [jnp.zeros(shape, dtype=_U32) for _ in range(4)]
+    planes[k] = jnp.full(shape, f.R1, dtype=_U32)
+    return tuple(planes)

@@ -115,19 +115,3 @@ def coset_lde(evals, log_blowup: int, shift: int = f.GENERATOR):
     return ntt(coeffs)
 
 
-def eval_coeffs_at_ext_point(coeffs_cols, zeta):
-    """Evaluate column polynomials (coeff form, (n, C) base) at an EF4 point.
-
-    Horner over rows with EF4 accumulator; returns (C, 4) EF4 values.
-    Used for out-of-domain openings.
-    """
-    from . import ext as e
-
-    n, c = coeffs_cols.shape
-    acc = e.ezeros((c,))
-
-    def body(i, acc):
-        row = coeffs_cols[n - 1 - i]  # (C,)
-        return e.eadd_base(e.emul(acc, jnp.broadcast_to(zeta, (c, 4))), row)
-
-    return jax.lax.fori_loop(0, n, body, acc)

@@ -73,16 +73,16 @@ def sharded_prove_step(mesh, trace, alpha, beta):
         root = tops[0]
 
         # --- LogUp: term_i = 1 / (alpha + beta * row_fingerprint_i).
-        am = xf.to_monty(alpha_r)
-        bm = xf.to_monty(beta_r)
+        am = xe.from_array(xf.to_monty(alpha_r))
+        bm = xe.from_array(xf.to_monty(beta_r))
         fp = tm[:, 0]
         for c in range(1, trace_blk.shape[1]):
             fp = xf.fadd(xf.fmul(fp, jnp.uint32(xf.monty_of(257))), tm[:, c])
         denom = xe.eadd(
-            jnp.broadcast_to(am, (fp.shape[0], 4)),
-            xf.fmul(bm[None, :], fp[:, None]),
+            tuple(jnp.broadcast_to(a, fp.shape) for a in am),
+            xe.emul_base(bm, fp),
         )
-        terms = xe.einv(denom)  # (rows_local, 4)
+        terms = xe.to_array(xe.einv(denom))  # (rows_local, 4)
         local_scan = jax.lax.associative_scan(xf.fadd, terms, axis=0)
         local_total = local_scan[-1]  # (4,)
         totals = jax.lax.all_gather(local_total, ROWS_AXIS)  # (nd, 4)

@@ -97,7 +97,7 @@ class V:
 
 
 class JnpBackend:
-    """Device arrays: base uint32 [...], ext uint32 [...,4] (Montgomery)."""
+    """Device arrays: base uint32 [...], ext = tuple of 4 planes (Montgomery)."""
 
     @staticmethod
     def const(c):
@@ -169,40 +169,38 @@ class NumpyBackend:
     def neg(a):
         return (np.uint64(P) - a) % np.uint64(P)
 
+    # ext payloads are tuples of 4 uint64 planes
     @classmethod
     def eadd(cls, a, b):
-        return (a + b) % np.uint64(P)
+        return tuple((x + y) % np.uint64(P) for x, y in zip(a, b))
 
     @classmethod
     def emul(cls, a, b):
-        c = [np.zeros(np.broadcast_shapes(a.shape[:-1], b.shape[:-1]), np.uint64) for _ in range(7)]
+        c = [np.uint64(0)] * 7
         for i in range(4):
             for j in range(4):
-                c[i + j] = (c[i + j] + a[..., i] * b[..., j]) % np.uint64(P)
+                c[i + j] = (c[i + j] + a[i] * b[j]) % np.uint64(P)
         for k in range(6, 3, -1):
             c[k - 4] = (c[k - 4] + np.uint64(3) * c[k]) % np.uint64(P)
-        return np.stack(c[:4], axis=-1)
+        return tuple(c[:4])
 
     @classmethod
     def eneg(cls, a):
-        return (np.uint64(P) - a) % np.uint64(P)
+        return tuple((np.uint64(P) - x) % np.uint64(P) for x in a)
 
     @classmethod
     def eadd_base(cls, e, b):
-        out = e.copy()
-        out[..., 0] = (out[..., 0] + b) % np.uint64(P)
-        return out
+        return ((e[0] + b) % np.uint64(P), e[1], e[2], e[3])
 
     @classmethod
     def emul_base(cls, e, b):
-        return (e * np.asarray(b)[..., None]) % np.uint64(P)
+        return tuple((x * b) % np.uint64(P) for x in e)
 
     @staticmethod
     def lift(b):
         b = np.asarray(b, np.uint64)
-        out = np.zeros(b.shape + (4,), np.uint64)
-        out[..., 0] = b
-        return out
+        z = np.zeros_like(b)
+        return (b, z, z, z)
 
 
 class SymBackend:

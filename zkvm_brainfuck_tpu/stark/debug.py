@@ -55,7 +55,11 @@ def check_constraints(
         idx = counter[0]
         counter[0] += 1
         vals = v.p
-        bad = np.nonzero(vals.reshape(n, -1).any(axis=1))[0] if vals.ndim else []
+        if isinstance(vals, tuple):
+            vals = np.stack([np.broadcast_to(x, (n,)) for x in vals], axis=-1)
+        else:
+            vals = np.broadcast_to(vals, (n,))
+        bad = np.nonzero(vals.reshape(n, -1).any(axis=1))[0]
         if len(bad) > 0:
             failures.append(
                 f"{chip.name}: constraint #{idx} nonzero at rows {bad[:5].tolist()}"
@@ -82,14 +86,20 @@ def check_constraints(
         on_constraint=on_constraint,
     )
     if perm is not None:
-        perm64 = perm.astype(np.uint64)
+        perm64 = perm.astype(np.uint64)  # (N, PW, 4)
         pn = np.roll(perm64, -1, axis=0)
-        b.perm_local = [V(be, perm64[:, i], True) for i in range(perm.shape[1])]
-        b.perm_next = [V(be, pn[:, i], True) for i in range(perm.shape[1])]
-        b.perm_challenges = [
-            V(be, np.asarray(c, np.uint64), True) for c in perm_challenges
+        b.perm_local = [
+            V(be, tuple(perm64[:, i, k] for k in range(4)), True)
+            for i in range(perm.shape[1])
         ]
-        b.cumulative_sum = V(be, np.asarray(cumulative_sum, np.uint64), True)
+        b.perm_next = [
+            V(be, tuple(pn[:, i, k] for k in range(4)), True)
+            for i in range(perm.shape[1])
+        ]
+        b.perm_challenges = [
+            V(be, tuple(np.uint64(x) for x in c), True) for c in perm_challenges
+        ]
+        b.cumulative_sum = V(be, tuple(np.uint64(x) for x in cumulative_sum), True)
     chip.eval(b)
     if perm is not None:
         from .permutation import eval_permutation_constraints

@@ -86,30 +86,41 @@ class Domain:
 
 
 @lru_cache(maxsize=None)
-def selectors_on_coset(trace_log_n: int, coset_log_n: int, coset_shift: int):
-    """Selectors of the trace domain H_n (shift 1) over a larger coset.
-
-    Returns dict of (coset_size,) Montgomery device arrays. Matches p3
-    selectors_on_coset (quotient.rs usage). Cached per shape.
-    """
+def selector_inputs_on_coset(trace_log_n: int, coset_log_n: int, coset_shift: int):
+    """Host (numpy canonical) selector ingredients - jit-trace safe to cache."""
     assert coset_shift != 1
     n = 1 << trace_log_n
     coset = Domain(coset_log_n, coset_shift)
     x = coset.points_host().astype(np.uint64)  # u = x (trace shift 1)
-    z_h = (pow(coset_shift, n, P) * pow_array(xf.two_adic_root(coset_log_n), n, coset.size) - 1) % P
+    z_h = (
+        pow(coset_shift, n, P) * pow_array(xf.two_adic_root(coset_log_n), n, coset.size)
+        - 1
+    ) % P
     g_inv = pow(xf.two_adic_root(trace_log_n), P - 2, P)
     first_den = (x + P - 1) % P
     last_den = (x + P - g_inv) % P
+    return (
+        xf.np_to_monty(z_h.astype(np.uint32)),
+        xf.np_to_monty(first_den.astype(np.uint32)),
+        xf.np_to_monty(last_den.astype(np.uint32)),
+    )
 
-    z_h_m = xf.to_monty(jnp.asarray(z_h.astype(np.uint32)))
-    first_m = xf.to_monty(jnp.asarray(first_den.astype(np.uint32)))
-    last_m = xf.to_monty(jnp.asarray(last_den.astype(np.uint32)))
-    inv_zh = xf.finv(z_h_m)
+
+def selectors_on_coset(trace_log_n: int, coset_log_n: int, coset_shift: int):
+    """Selectors of the trace domain H_n (shift 1) over a larger coset.
+
+    Matches p3 selectors_on_coset (quotient.rs usage).  Device inversions run
+    wherever this is called (inside the jitted quotient program).
+    """
+    z_h_m, first_m, last_m = selector_inputs_on_coset(
+        trace_log_n, coset_log_n, coset_shift
+    )
+    z_h_m = jnp.asarray(z_h_m)
     return {
-        "is_first_row": xf.fmul(z_h_m, xf.finv(first_m)),
-        "is_last_row": xf.fmul(z_h_m, xf.finv(last_m)),
-        "is_transition": last_m,
-        "inv_zeroifier": inv_zh,
+        "is_first_row": xf.fmul(z_h_m, xf.finv(jnp.asarray(first_m))),
+        "is_last_row": xf.fmul(z_h_m, xf.finv(jnp.asarray(last_m))),
+        "is_transition": jnp.asarray(last_m),
+        "inv_zeroifier": xf.finv(z_h_m),
     }
 
 

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from functools import lru_cache
 from typing import Dict, List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,22 +46,24 @@ def _half_xinv(log_h: int):
     return xf.np_to_monty(((pows * half) % P).astype(np.uint32))
 
 
+@jax.jit
 def fold_layer(v, beta_dev):
-    """One FRI fold on a natural-order EF4 layer (h, 4) -> (h/2, 4)."""
-    h = v.shape[0]
+    """One FRI fold on a natural-order EF4 plane-tuple layer: h -> h/2."""
+    h = v[0].shape[0]
     log_h = h.bit_length() - 1
-    u = v[: h // 2]
-    w = v[h // 2 :]
+    u = tuple(x[: h // 2] for x in v)
+    w = tuple(x[h // 2 :] for x in v)
     half = jnp.uint32(xf.monty_of(pow(2, P - 2, P)))
     s = xe.emul_base(xe.eadd(u, w), half)
-    d = xe.emul_base(xe.esub(u, w), _half_xinv(log_h))
-    return xe.eadd(s, xe.emul(jnp.broadcast_to(jnp.asarray(beta_dev), (h // 2, 4)), d))
+    d = xe.emul_base(xe.esub(u, w), jnp.asarray(_half_xinv(log_h)))
+    beta_p = xe.from_array(jnp.asarray(beta_dev))
+    return xe.eadd(s, xe.emul(tuple(jnp.broadcast_to(b, (h // 2,)) for b in beta_p), d))
 
 
 def _commit_layer_matrix(v):
-    """Natural EF4 layer -> (h/2, 8) base matrix of bit-reversed (f(x), f(-x))."""
-    br = nt.bit_reverse_rows(v)  # (h, 4)
-    return br.reshape(v.shape[0] // 2, 8)
+    """Natural EF4 planes -> (h/2, 8) base matrix of bit-reversed (f(x), f(-x))."""
+    br = nt.bit_reverse_rows(xe.to_array(v))  # (h, 4)
+    return br.reshape(br.shape[0] // 2, 8)
 
 
 @dataclass
@@ -87,7 +90,7 @@ def fri_prove(
     trees: List[mk.MerkleTree] = []
     roots: List[np.ndarray] = []
     betas: List[tuple] = []
-    while current.shape[0] > (1 << log_blowup):
+    while current[0].shape[0] > (1 << log_blowup):
         mat = _commit_layer_matrix(current)
         tree = mk.commit([mat])
         trees.append(tree)
@@ -97,11 +100,11 @@ def fri_prove(
         betas.append(beta)
         beta_dev = xf.to_monty(jnp.asarray(np.array(beta, np.uint32)))
         current = fold_layer(current, beta_dev)
-        log_h = current.shape[0].bit_length() - 1
+        log_h = current[0].shape[0].bit_length() - 1
         if log_h in inputs and (1 << log_h) < (1 << log_max):
             current = xe.eadd(current, inputs[log_h])
 
-    final_host = np.asarray(xf.from_monty(current))
+    final_host = np.asarray(xf.from_monty(xe.to_array(current)))
     final_poly = tuple(int(x) for x in final_host[0])
     for v in final_host:
         assert tuple(int(x) for x in v) == final_poly, "final layer not constant"

@@ -17,7 +17,7 @@ reconstruction at each query point, fold chain, final constant.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -78,13 +78,22 @@ def pcs_commit(domains_and_evals: Sequence[Tuple[Domain, jnp.ndarray]]) -> Tuple
 # ---------------------------------------------------------------------------
 
 
-def _zeta_powers(zeta: tuple, n: int) -> jnp.ndarray:
-    """(n, 4) Monty powers z^0..z^{n-1} via parallel scan."""
-    z = xf.to_monty(jnp.asarray(np.array(zeta, np.uint32)))
-    base = jnp.broadcast_to(z, (n, 4))
-    one = xe.eones(())
-    stacked = jnp.concatenate([one[None], base[: n - 1]], axis=0)
+@partial(jax.jit, static_argnames=("n",))
+def _zeta_powers_dev(z_canon: jnp.ndarray, n: int):
+    z = xe.from_array(xf.to_monty(z_canon))
+    stacked = tuple(
+        jnp.concatenate(
+            [jnp.full((1,), xf.R1 if k == 0 else 0, jnp.uint32),
+             jnp.broadcast_to(z[k], (n - 1,))]
+        )
+        for k in range(4)
+    )
     return jax.lax.associative_scan(xe.emul, stacked, axis=0)
+
+
+def _zeta_powers(zeta: tuple, n: int):
+    """EF4 plane tuple of (n,) Monty powers z^0..z^{n-1} via parallel scan."""
+    return _zeta_powers_dev(jnp.asarray(np.array(zeta, np.uint32)), n)
 
 
 def _fsum_rows(x):
@@ -99,15 +108,22 @@ def _fsum_rows(x):
     return x[0]
 
 
-def eval_matrix_at_point(coeffs: jnp.ndarray, zpows: jnp.ndarray) -> np.ndarray:
-    """f_col(z) for all columns: (n, W) x (n, 4) -> (W, 4) canonical host."""
+@jax.jit
+def _eval_matrix_at_point_dev(coeffs: jnp.ndarray, zpows) -> jnp.ndarray:
     n, w = coeffs.shape
     chunk = min(n, 1 << 15)
-    acc = jnp.zeros((w, 4), jnp.uint32)
+    acc = [jnp.zeros((w,), jnp.uint32) for _ in range(4)]
     for start in range(0, n, chunk):
-        t = xf.fmul(coeffs[start : start + chunk, :, None], zpows[start : start + chunk, None, :])
-        acc = xf.fadd(acc, _fsum_rows(t))
-    return np.asarray(xf.from_monty(acc))
+        cc = coeffs[start : start + chunk]
+        for k in range(4):
+            t = xf.fmul(cc, zpows[k][start : start + chunk, None])
+            acc[k] = xf.fadd(acc[k], _fsum_rows(t))
+    return xf.from_monty(jnp.stack(acc, axis=-1))
+
+
+def eval_matrix_at_point(coeffs: jnp.ndarray, zpows) -> np.ndarray:
+    """f_col(z) for all columns: (n, W) x planes (n,) -> (W, 4) canonical host."""
+    return np.asarray(_eval_matrix_at_point_dev(coeffs, zpows))
 
 
 # ---------------------------------------------------------------------------
@@ -143,26 +159,37 @@ def pcs_open(
     Returns (opened_values, PcsProof); opened_values[r][i][p] = list of EF
     tuples per column.
     """
-    # 1. Evaluate all openings from coefficients.
-    opened_values = []
+    # 1. Evaluate all openings from coefficients.  Matrices sharing
+    # (height, shift, point) are evaluated in one fused kernel (concatenated
+    # columns) to keep the number of compiled shapes small.
+    opened_values = [
+        [[None] * len(pts) for pts in points_per_mat] for _, points_per_mat in rounds
+    ]
     zpow_cache: Dict[Tuple[tuple, int], jnp.ndarray] = {}
-    for data, points_per_mat in rounds:
-        round_vals = []
-        for domain, coeffs, pts in zip(data.domains, data.coeffs, points_per_mat):
-            n = coeffs.shape[0]
+    for r, (data, points_per_mat) in enumerate(rounds):
+        groups: Dict[tuple, list] = {}
+        for i, (domain, coeffs, pts) in enumerate(
+            zip(data.domains, data.coeffs, points_per_mat)
+        ):
+            for pi, z in enumerate(pts):
+                groups.setdefault((domain.log_n, domain.shift, z), []).append((i, pi))
+        for (log_n, shift, z), members in groups.items():
             # intt over a shifted domain yields coefficients of q(shift*y):
             # evaluate the real polynomial q at z via q~(z / shift).
-            shift_inv = pow(domain.shift, P - 2, P)
-            mat_vals = []
-            for z in pts:
-                zs = efh.mul_base(z, shift_inv)
-                key = (zs, n)
-                if key not in zpow_cache:
-                    zpow_cache[key] = _zeta_powers(zs, n)
-                ys = eval_matrix_at_point(coeffs, zpow_cache[key])
-                mat_vals.append([tuple(int(x) for x in y) for y in ys])
-            round_vals.append(mat_vals)
-        opened_values.append(round_vals)
+            zs = efh.mul_base(z, pow(shift, P - 2, P))
+            n = 1 << log_n
+            key = (zs, n)
+            if key not in zpow_cache:
+                zpow_cache[key] = _zeta_powers(zs, n)
+            cat = jnp.concatenate([data.coeffs[i] for i, _ in members], axis=1)
+            ys = eval_matrix_at_point(cat, zpow_cache[key])
+            off = 0
+            for i, pi in members:
+                w = data.coeffs[i].shape[1]
+                opened_values[r][i][pi] = [
+                    tuple(int(x) for x in y) for y in ys[off : off + w]
+                ]
+                off += w
 
     # 2. Bind opened values, then sample the combination challenge.
     for round_vals in opened_values:
@@ -179,34 +206,43 @@ def pcs_open(
             max_alpha_pows = max(max_alpha_pows, lde.shape[1] * len(pts) * 2)
     alpha_pows_host = _ef_powers_host(alpha, _total_alpha_budget(rounds))
 
+    # Alpha-power counters are per (height, point): quotients at DIFFERENT
+    # points have distinct poles, so their contributions cannot cancel even
+    # with shared alpha powers; columns at the SAME point always get distinct
+    # consecutive powers.  Matrices sharing (height, point) within a round are
+    # reduced in one fused kernel over concatenated columns.
     ro: Dict[int, jnp.ndarray] = {}
-    counters: Dict[int, int] = {}
+    counters: Dict[Tuple[int, tuple], int] = {}
     inv_cache: Dict[Tuple[tuple, int], jnp.ndarray] = {}
     for (data, points_per_mat), round_vals in zip(rounds, opened_values):
-        for lde, pts, mat_vals in zip(data.ldes, points_per_mat, round_vals):
-            h = lde.shape[0]
-            log_h = h.bit_length() - 1
+        groups: Dict[tuple, list] = {}
+        for i, (lde, pts) in enumerate(zip(data.ldes, points_per_mat)):
+            log_h = lde.shape[0].bit_length() - 1
+            for pi, z in enumerate(pts):
+                groups.setdefault((log_h, z), []).append((i, pi))
+        for (log_h, z), members in groups.items():
+            h = 1 << log_h
             if log_h not in ro:
                 ro[log_h] = xe.ezeros((h,))
-                counters[log_h] = 0
-            for z, ys in zip(pts, mat_vals):
-                c0 = counters[log_h]
-                w = lde.shape[1]
-                key = (z, log_h)
-                if key not in inv_cache:
-                    inv_cache[key] = _inv_x_minus_z(log_h, z)
-                # A(x) = sum_k alpha^{c0+k} f_k(x) ; S = sum_k alpha^{c0+k} y_k
-                a = xe.ezeros((h,))
-                s = efh.ZERO
-                for k in range(w):
-                    ap = alpha_pows_host[c0 + k]
-                    ap_dev = xf.to_monty(jnp.asarray(np.array(ap, np.uint32)))
-                    a = xe.eadd(a, xf.fmul(ap_dev[None, :], lde[:, k][:, None]))
-                    s = efh.add(s, efh.mul(ap, ys[k]))
-                s_dev = xf.to_monty(jnp.asarray(np.array(s, np.uint32)))
-                diff = xe.esub(a, jnp.broadcast_to(s_dev, (h, 4)))
-                ro[log_h] = xe.eadd(ro[log_h], xe.emul(diff, inv_cache[key]))
-                counters[log_h] += w
+            key = (z, log_h)
+            if key not in inv_cache:
+                inv_cache[key] = _inv_x_minus_z(log_h, z)
+            cat = jnp.concatenate([data.ldes[i] for i, _ in members], axis=1)
+            ys_cat = [y for i, pi in members for y in round_vals[i][pi]]
+            c0 = counters.get((log_h, z), 0)
+            w = cat.shape[1]
+            s = efh.ZERO
+            for k in range(w):
+                s = efh.add(s, efh.mul(alpha_pows_host[c0 + k], ys_cat[k]))
+            ap = np.array(alpha_pows_host[c0 : c0 + w], np.uint32)  # (w,4)
+            ro[log_h] = _ro_accum(
+                ro[log_h],
+                cat,
+                jnp.asarray(ap),
+                jnp.asarray(np.array(s, np.uint32)),
+                inv_cache[key],
+            )
+            counters[(log_h, z)] = c0 + w
 
     # 4. FRI.
     fri_proof, indices = fri_prove(ro, challenger, LOG_BLOWUP, num_queries, pow_bits)
@@ -255,13 +291,36 @@ def _lde_points_host(log_h: int) -> np.ndarray:
     return Domain(log_h, GENERATOR).points_host()
 
 
-def _inv_x_minus_z(log_h: int, z: tuple) -> jnp.ndarray:
-    """1/(x - z) for all x in GENERATOR*H_h, natural order, Monty (h,4)."""
+@jax.jit
+def _ro_accum(ro, lde, alpha_pows_canon, s_canon, inv_xz):
+    """ro += (sum_k alpha^k f_k(x) - S) / (x - z), one fused program.
+
+    ro/inv_xz: EF plane tuples of (h,); alpha_pows_canon (w,4); s_canon (4,).
+    """
+    h, w = lde.shape
+    ap = xf.to_monty(alpha_pows_canon)  # (w, 4)
+    a = xe.ezeros((h,))
+    for k in range(w):
+        a = xe.eadd(a, xe.emul_base(tuple(ap[k, t] for t in range(4)), lde[:, k]))
+    s_dev = xe.from_array(xf.to_monty(s_canon))
+    diff = xe.esub(a, tuple(jnp.broadcast_to(s_dev[t], (h,)) for t in range(4)))
+    return xe.eadd(ro, xe.emul(diff, inv_xz))
+
+
+@partial(jax.jit, static_argnames=("log_h",))
+def _inv_x_minus_z_dev(z_canon, log_h: int):
     x = _lde_points_host(log_h)
     xm = xf.to_monty(jnp.asarray(x))
-    z_dev = xf.to_monty(jnp.asarray(np.array(z, np.uint32)))
-    xz = xe.esub(xe.from_base(xm), jnp.broadcast_to(z_dev, (len(x), 4)))
+    z_dev = xe.from_array(xf.to_monty(z_canon))
+    xz = xe.esub(
+        xe.from_base(xm), tuple(jnp.broadcast_to(z_dev[t], (len(x),)) for t in range(4))
+    )
     return xe.einv(xz)
+
+
+def _inv_x_minus_z(log_h: int, z: tuple) -> jnp.ndarray:
+    """1/(x - z) for all x in GENERATOR*H_h, natural order, Monty (h,4)."""
+    return _inv_x_minus_z_dev(jnp.asarray(np.array(z, np.uint32)), log_h)
 
 
 # ---------------------------------------------------------------------------
@@ -329,24 +388,28 @@ def pcs_verify(
             rows_by_round.append(opening.opened_rows)
 
         # Reconstruct reduced openings per height at this query point.
+        # Alpha-power counters per (height, point), matching the prover.
         ro_val: Dict[int, tuple] = {}
-        counters: Dict[int, int] = {}
+        counters: Dict[tuple, int] = {}
+        inv_xz_cache: Dict[tuple, tuple] = {}
         for (root, mats), rows in zip(rounds, rows_by_round):
             for (domain, pts), row in zip(mats, rows):
                 log_h = domain.log_n + LOG_BLOWUP
                 idx_h = index >> (log_global - log_h)
                 x = _lde_points_host(log_h)[nt.bit_reversal_perm(log_h)[idx_h]]
                 ro_val.setdefault(log_h, efh.ZERO)
-                counters.setdefault(log_h, 0)
                 for z, ys in pts:
-                    c0 = counters[log_h]
-                    inv_xz = efh.inv(efh.add_base(efh.neg(z), int(x)))
+                    c0 = counters.get((log_h, z), 0)
+                    ck = (log_h, z, int(x))
+                    if ck not in inv_xz_cache:
+                        inv_xz_cache[ck] = efh.inv(efh.add_base(efh.neg(z), int(x)))
+                    inv_xz = inv_xz_cache[ck]
                     acc = efh.ZERO
                     for k, y in enumerate(ys):
                         diff = efh.add_base(efh.neg(y), int(row[k]))
                         acc = efh.add(acc, efh.mul(alpha_pows[c0 + k], diff))
                     ro_val[log_h] = efh.add(ro_val[log_h], efh.mul(acc, inv_xz))
-                    counters[log_h] += len(ys)
+                    counters[(log_h, z)] = c0 + len(ys)
 
         fri_check_query(
             proof.fri,

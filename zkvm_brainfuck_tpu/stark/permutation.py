@@ -50,68 +50,98 @@ def _interactions(chip: Chip):
     return [(lk, True) for lk in chip.sends] + [(lk, False) for lk in chip.receives]
 
 
-def generate_permutation_trace(
+_PERM_JITS = {}
+
+
+def generate_permutation_trace(chip: Chip, prep, main, alpha, beta):
+    """Jit-dispatched wrapper; one compiled program per (chip, shapes)."""
+    key = (id(chip), prep is None)
+    if key not in _PERM_JITS:
+        if prep is None:
+            _PERM_JITS[key] = jax.jit(
+                lambda m, a, b: _generate_permutation_trace(chip, None, m, a, b)
+            )
+        else:
+            _PERM_JITS[key] = jax.jit(
+                lambda p, m, a, b: _generate_permutation_trace(chip, p, m, a, b)
+            )
+    fn = _PERM_JITS[key]
+    return fn(main, alpha, beta) if prep is None else fn(prep, main, alpha, beta)
+
+
+def _generate_permutation_trace(
     chip: Chip,
     prep,  # (N, PW) Monty or None
     main,  # (N, W) Monty
     alpha,  # (4,) Monty EF
     beta,  # (4,) Monty EF
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (perm_trace (N, PW, 4) Monty, cumulative_sum (4,) Monty)."""
+    """Returns (perm_trace (N, PW, 4) Monty, cumulative_sum (4,) Monty).
+
+    Internally everything is EF4 plane tuples; the interaction denominators
+    are stacked along a new axis and inverted with ONE vectorized einv (a
+    Fermat ladder on the whole stack) instead of a sequential product chain.
+    """
     inter = _interactions(chip)
     batch = chip.logup_batch_size
     n = main.shape[0]
     num_batches = (len(inter) + batch - 1) // batch
+    n_inter = len(inter)
+
+    alpha_p = xe.from_array(alpha)
+    beta_p = xe.from_array(beta)
 
     max_vals = max(len(lk.values) for lk, _ in inter)
     beta_pows = [xe.eones(())]  # beta^0
     for _ in range(max_vals):
-        beta_pows.append(xe.emul(beta_pows[-1], beta))
+        beta_pows.append(xe.emul(beta_pows[-1], beta_p))
 
-    # Denominators (fingerprints) per interaction: (N, 4) each.
-    denoms = []
-    mults = []
+    # Denominators per interaction, gathered into (N, I) planes.
+    denom_cols = [[] for _ in range(4)]
+    mult_cols = []
     for lk, is_send in inter:
-        d = jnp.broadcast_to(alpha, (n, 4))
-        d = xe.eadd_base(
-            d, jnp.full((n,), xf.monty_of(lk.argument_index), jnp.uint32)
-        )
+        d = tuple(jnp.broadcast_to(alpha_p[k], (n,)) for k in range(4))
+        d = xe.eadd_base(d, jnp.full((n,), xf.monty_of(lk.argument_index), jnp.uint32))
         for j, aff in enumerate(lk.values):
             val = _affine_device(aff, prep, main)  # (N,)
-            d = xe.eadd(d, xf.fmul(beta_pows[j + 1][None, :], val[:, None]))
-        denoms.append(d)
+            d = xe.eadd(d, xe.emul_base(beta_pows[j + 1], val))
+        for k in range(4):
+            denom_cols[k].append(d[k])
         m = _affine_device(lk.multiplicity, prep, main)
-        mults.append(m if is_send else xf.fneg(m))
+        mult_cols.append(m if is_send else xf.fneg(m))
 
-    # Montgomery batch inversion across the interaction axis.
-    prefix = [denoms[0]]
-    for d in denoms[1:]:
-        prefix.append(xe.emul(prefix[-1], d))
-    total_inv = xe.einv(prefix[-1])
-    invs = [None] * len(denoms)
-    acc = total_inv
-    for i in range(len(denoms) - 1, 0, -1):
-        invs[i] = xe.emul(acc, prefix[i - 1])
-        acc = xe.emul(acc, denoms[i])
-    invs[0] = acc
+    denoms = tuple(jnp.stack(denom_cols[k], axis=1) for k in range(4))  # (N, I) x4
+    mults = jnp.stack(mult_cols, axis=1)  # (N, I)
 
-    terms = [xe.emul_base(invs[i], mults[i]) for i in range(len(inter))]
+    invs = xe.einv(denoms)  # vectorized over (N, I)
+    terms = xe.emul_base(invs, mults)  # (N, I) planes
 
-    entries = []
+    # Batched entries: pad I to a multiple of batch, sum inside each batch.
+    pad = num_batches * batch - n_inter
+    if pad:
+        terms = tuple(jnp.pad(t, ((0, 0), (0, pad))) for t in terms)
+    entries = tuple(
+        t.reshape(n, num_batches, batch).transpose(0, 2, 1) for t in terms
+    )
+    # fold the batch axis with exact mod adds
+    ent = tuple(e[:, 0, :] for e in entries)
+    for b in range(1, batch):
+        ent = tuple(xf.fadd(x, e[:, b, :]) for x, e in zip(ent, entries))
+    # ent: (N, num_batches) planes
+
+    row_sum = tuple(e[:, 0] for e in ent)
+    for bi in range(1, num_batches):
+        row_sum = tuple(xf.fadd(x, e[:, bi]) for x, e in zip(row_sum, ent))
+    phi = tuple(jax.lax.associative_scan(xf.fadd, rs, axis=0) for rs in row_sum)
+
+    # Assemble (N, num_batches + 1, 4) storage array.
+    cols = []
     for bi in range(num_batches):
-        chunk = terms[bi * batch : (bi + 1) * batch]
-        e = chunk[0]
-        for t in chunk[1:]:
-            e = xe.eadd(e, t)
-        entries.append(e)
-
-    row_sum = entries[0]
-    for e in entries[1:]:
-        row_sum = xe.eadd(row_sum, e)
-    phi = jax.lax.associative_scan(xf.fadd, row_sum, axis=0)
-
-    perm = jnp.stack(entries + [phi], axis=1)  # (N, num_batches+1, 4)
-    return perm, phi[-1]
+        cols.append(jnp.stack([e[:, bi] for e in ent], axis=-1))  # (N, 4)
+    cols.append(jnp.stack(list(phi), axis=-1))
+    perm = jnp.stack(cols, axis=1)
+    csum = jnp.stack([p[-1] for p in phi], axis=-1)  # (4,)
+    return perm, csum
 
 
 def eval_permutation_constraints(chip: Chip, b) -> None:

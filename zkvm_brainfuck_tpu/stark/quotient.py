@@ -22,7 +22,36 @@ from .domains import Domain, selectors_on_coset
 from .permutation import eval_permutation_constraints
 
 
+_QUOTIENT_JITS = {}
+
+
 def quotient_values(
+    chip, trace_domain, quotient_domain, prep_on_coset, main_on_coset,
+    perm_on_coset, perm_challenges, alpha, cumulative_sum,
+):
+    """Jit-dispatched wrapper; one compiled program per (chip, domains)."""
+    key = (id(chip), trace_domain, quotient_domain, prep_on_coset is None)
+    if key not in _QUOTIENT_JITS:
+        if prep_on_coset is None:
+            _QUOTIENT_JITS[key] = jax.jit(
+                lambda m, pm, ch, al, cs: _quotient_values(
+                    chip, trace_domain, quotient_domain, None, m, pm, ch, al, cs
+                )
+            )
+        else:
+            _QUOTIENT_JITS[key] = jax.jit(
+                lambda p, m, pm, ch, al, cs: _quotient_values(
+                    chip, trace_domain, quotient_domain, p, m, pm, ch, al, cs
+                )
+            )
+    fn = _QUOTIENT_JITS[key]
+    args = (main_on_coset, perm_on_coset, perm_challenges, alpha, cumulative_sum)
+    if prep_on_coset is None:
+        return fn(*args)
+    return fn(prep_on_coset, *args)
+
+
+def _quotient_values(
     chip: Chip,
     trace_domain: Domain,
     quotient_domain: Domain,
@@ -46,18 +75,19 @@ def quotient_values(
         jnp.roll(prep_on_coset, -next_step, axis=0) if prep_on_coset is not None else None
     )
     perm_w = perm_on_coset.shape[1] // 4
-    perm_ef = perm_on_coset.reshape(nq, perm_w, 4)
-    perm_ef_next = jnp.roll(perm_ef, -next_step, axis=0)
+    perm_next_mat = jnp.roll(perm_on_coset, -next_step, axis=0)
 
-    acc = [xe.ezeros((nq,))]
-    alpha_b = jnp.asarray(alpha)
+    def perm_planes(mat, i):
+        return tuple(mat[:, 4 * i + k] for k in range(4))
+
+    # Collect constraints, then fold with power-weighted sums: equivalent to
+    # the verifier's Horner (acc = acc*alpha + c) but with far fewer EF
+    # multiplies: acc = sum_j alpha^{K-1-j} c_j, with alpha powers from a
+    # log-depth scan and base constraints folded coefficient-wise.
+    collected = []
 
     def on_constraint(v: V):
-        a = xe.emul(acc[0], jnp.broadcast_to(alpha_b, (nq, 4)))
-        if v.ext:
-            acc[0] = xe.eadd(a, v.p)
-        else:
-            acc[0] = xe.eadd_base(a, jnp.broadcast_to(v.p, (nq,)))
+        collected.append((v.p, v.ext))
 
     b = NumericBuilder(
         backend=be,
@@ -69,15 +99,36 @@ def quotient_values(
         is_last_row=V(be, sels["is_last_row"]),
         is_transition=V(be, sels["is_transition"]),
         on_constraint=on_constraint,
-        perm_local=[V(be, perm_ef[:, i], True) for i in range(perm_w)],
-        perm_next=[V(be, perm_ef_next[:, i], True) for i in range(perm_w)],
-        perm_challenges=[V(be, jnp.asarray(c), True) for c in perm_challenges],
-        cumulative_sum=V(be, jnp.broadcast_to(jnp.asarray(cumulative_sum), (nq, 4)), True),
+        perm_local=[V(be, perm_planes(perm_on_coset, i), True) for i in range(perm_w)],
+        perm_next=[V(be, perm_planes(perm_next_mat, i), True) for i in range(perm_w)],
+        perm_challenges=[V(be, xe.from_array(jnp.asarray(c)), True) for c in perm_challenges],
+        cumulative_sum=V(be, xe.from_array(jnp.asarray(cumulative_sum)), True),
     )
     chip.eval(b)
     eval_permutation_constraints(chip, b)
 
-    return xe.emul_base(acc[0], sels["inv_zeroifier"])
+    k_total = len(collected)
+    alpha_p = xe.from_array(jnp.asarray(alpha))
+    # alpha powers 0..k_total-1 via log-depth scan on stacked planes
+    apow_stack = tuple(
+        jnp.concatenate(
+            [jnp.full((1,), xf.R1 if k == 0 else 0, jnp.uint32),
+             jnp.broadcast_to(alpha_p[k], (k_total - 1,))]
+        )
+        for k in range(4)
+    )
+    apows = jax.lax.associative_scan(xe.emul, apow_stack, axis=0)  # (K,) planes
+
+    acc = xe.ezeros((nq,))
+    for j, (payload, ext) in enumerate(collected):
+        w = tuple(a[k_total - 1 - j] for a in apows)  # alpha^{K-1-j} planes (scalars)
+        if ext:
+            contrib = xe.emul(payload, w)
+        else:
+            contrib = xe.emul_base(w, payload)
+        acc = xe.eadd(acc, contrib)
+
+    return jnp.stack(list(xe.emul_base(acc, sels["inv_zeroifier"])), axis=-1)
 
 
 def split_quotient_chunks(quotient_domain: Domain, qvals, n_chunks: int):
