@@ -51,7 +51,10 @@ def main():
     client = ProverClient()
     pk, vk = client.setup(guest)
 
-    runs = 2 if os.environ.get("BENCH_STEADY") == "1" else 1
+    # Steady-state by default: the first prove warms XLA compiles (the axon
+    # TPU backend has no cross-process compilation cache), the second is
+    # measured.  BENCH_COLD=1 measures the cold run instead.
+    runs = 1 if os.environ.get("BENCH_COLD") == "1" else 2
     elapsed = None
     for _ in range(runs):
         t0 = time.time()

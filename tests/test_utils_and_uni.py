@@ -1,0 +1,75 @@
+"""Utility coverage: spans, turn-sync, report tables, uni-stark single-chip
+prove/verify (the reference's alu/jump p3_uni_stark tests)."""
+
+import threading
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zkvm_brainfuck_tpu.utils.report import generate_execution_report, sorted_table_lines
+from zkvm_brainfuck_tpu.utils.span import SpanBuilder
+from zkvm_brainfuck_tpu.utils.concurrency import TurnBasedSync
+
+
+def test_span_builder():
+    b = SpanBuilder("program")
+    b.item("+", 3)
+    b.enter("loop")
+    b.item("-", 5)
+    b.exit()
+    root = b.finish()
+    assert root.total() == 8
+    text = "\n".join(root.lines())
+    assert "loop" in text and "total" in text
+
+
+def test_turn_based_sync():
+    sync = TurnBasedSync()
+    order = []
+
+    def worker(turn):
+        sync.wait_for_turn(turn)
+        order.append(turn)
+        sync.advance_turn()
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in (2, 0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=5)
+    assert order == [0, 1, 2]
+
+
+def test_report_tables():
+    table = {"+": 10, "-": 3, ".": 0}
+    width, lines = sorted_table_lines(table)
+    assert lines[0] == ("+", 10)
+    rows = list(generate_execution_report(table))
+    assert len(rows) == 2  # zero rows hidden
+
+
+def test_uni_stark_addsub_roundtrip():
+    from zkvm_brainfuck_tpu.core.executor import execute_python
+    from zkvm_brainfuck_tpu.core.program import Program
+    from zkvm_brainfuck_tpu.models.alu import AddSubChip
+    from zkvm_brainfuck_tpu.models.base import ByteDeps
+    from zkvm_brainfuck_tpu.stark.challenger import DuplexChallenger
+    from zkvm_brainfuck_tpu.stark.chip import Chip
+    from zkvm_brainfuck_tpu.stark.fri import VerificationFailure
+    from zkvm_brainfuck_tpu.stark.uni import uni_stark_prove, uni_stark_verify
+
+    program = Program.from_source("+++++---")
+    record = execute_python(program, b"")
+    chip = Chip(AddSubChip())
+    trace = np.asarray(chip.air.generate_trace(record, ByteDeps()))
+
+    proof = uni_stark_prove(chip, trace, DuplexChallenger(), num_queries=8)
+    uni_stark_verify(chip, proof, DuplexChallenger(), num_queries=8)
+
+    # tampering with an opened value must fail
+    bad = list(proof.main_local)
+    bad[0] = ((bad[0][0] + 1) % 0x7F000001,) + tuple(bad[0][1:])
+    proof.main_local = bad
+    with pytest.raises(VerificationFailure):
+        uni_stark_verify(chip, proof, DuplexChallenger(), num_queries=8)

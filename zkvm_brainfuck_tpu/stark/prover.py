@@ -106,6 +106,7 @@ class TpuProver:
         log_degrees = [d.bit_length() - 1 for d in degrees]
         trace_domains = [Domain(ld, 1) for ld in log_degrees]
 
+        log.debug("main root: %s", [int(x) for x in shard_data["root"]])
         challenger.observe_commitment([int(x) for x in shard_data["root"]])
         perm_challenges = [challenger.sample_ext() for _ in range(2)]
         alpha_dev = _ext_to_dev(perm_challenges[0])
@@ -144,6 +145,8 @@ class TpuProver:
         )
         log.debug("committed permutation traces in %.3fs", time.time() - t0)
 
+        log.debug("perm root: %s", [int(x) for x in perm_root])
+        log.debug("cumulative sums: %s", cumulative_sums_host)
         challenger.observe_commitment([int(x) for x in perm_root])
         for csum in cumulative_sums_host:
             challenger.observe_slice(list(csum))
@@ -190,6 +193,7 @@ class TpuProver:
             list(zip(quotient_domains_flat, quotient_mats))
         )
         log.debug("committed quotient in %.3fs", time.time() - t0)
+        log.debug("quotient root: %s", [int(x) for x in quotient_root])
         challenger.observe_commitment([int(x) for x in quotient_root])
 
         zeta = challenger.sample_ext()
