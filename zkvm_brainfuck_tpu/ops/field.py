@@ -137,8 +137,22 @@ def fpow(a, e: int):
 
 
 def finv(a):
-    """a^-1 mod p via Fermat (a must be nonzero; 0 maps to 0 like p3's debug use)."""
-    return fpow(a, P - 2)
+    """a^-1 mod p via Fermat (a must be nonzero; 0 maps to 0 like p3's debug use).
+
+    p - 2 = 0b0111111_0_111111111111111111111111: square-and-multiply with the
+    two all-ones runs rolled into fori_loops, so the traced graph is ~10x
+    smaller than a fully unrolled ladder while the op count is identical.
+    (An unrolled chain would let XLA fuse all ~60 passes into one; the loops
+    trade ~30 extra elementwise passes for fast tracing - inversion inputs are
+    always O(trace) sized, so this stays far off the HBM-bandwidth floor.)
+    """
+
+    def sq_mul(_, r):
+        return fmul(fsquare(r), a)
+
+    r = jax.lax.fori_loop(0, 5, sq_mul, a)  # bits 29..25 (five 1s after MSB)
+    r = fsquare(r)  # bit 24 (the single 0)
+    return jax.lax.fori_loop(0, 24, sq_mul, r)  # bits 23..0 (24 ones)
 
 
 def fhalve(a):

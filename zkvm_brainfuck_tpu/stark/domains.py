@@ -106,21 +106,47 @@ def selector_inputs_on_coset(trace_log_n: int, coset_log_n: int, coset_shift: in
     )
 
 
+def np_finv(x: np.ndarray) -> np.ndarray:
+    """Vectorized Fermat inversion on canonical uint64 numpy (exact).
+
+    Square-and-multiply for p-2 = 0b0111111_0_1^24; products stay < 2^62.
+    """
+    x = x % P
+    r = x.copy()
+    for _ in range(5):
+        r = (r * r % P) * x % P
+    r = r * r % P
+    for _ in range(24):
+        r = (r * r % P) * x % P
+    return r
+
+
+@lru_cache(maxsize=None)
 def selectors_on_coset(trace_log_n: int, coset_log_n: int, coset_shift: int):
     """Selectors of the trace domain H_n (shift 1) over a larger coset.
 
-    Matches p3 selectors_on_coset (quotient.rs usage).  Device inversions run
-    wherever this is called (inside the jitted quotient program).
+    Matches p3 selectors_on_coset (quotient.rs usage).  Computed ONCE per
+    domain signature (cached) in exact host numpy: callers inside jit traces
+    see plain constants, so the three field inversions never inflate per-chip
+    quotient graphs and no tracer can leak into the cache.
     """
-    z_h_m, first_m, last_m = selector_inputs_on_coset(
-        trace_log_n, coset_log_n, coset_shift
-    )
-    z_h_m = jnp.asarray(z_h_m)
+    assert coset_shift != 1
+    n = 1 << trace_log_n
+    coset = Domain(coset_log_n, coset_shift)
+    x = coset.points_host().astype(np.uint64)
+    z_h = (
+        pow(coset_shift, n, P) * pow_array(xf.two_adic_root(coset_log_n), n, coset.size)
+        - 1
+    ) % P
+    g_inv = pow(xf.two_adic_root(trace_log_n), P - 2, P)
+    first_den = (x + P - 1) % P
+    last_den = (x + P - g_inv) % P
+    to_m = lambda a: xf.np_to_monty(a.astype(np.uint32))
     return {
-        "is_first_row": xf.fmul(z_h_m, xf.finv(jnp.asarray(first_m))),
-        "is_last_row": xf.fmul(z_h_m, xf.finv(jnp.asarray(last_m))),
-        "is_transition": jnp.asarray(last_m),
-        "inv_zeroifier": xf.finv(z_h_m),
+        "is_first_row": to_m(z_h * np_finv(first_den) % P),
+        "is_last_row": to_m(z_h * np_finv(last_den) % P),
+        "is_transition": to_m(last_den),
+        "inv_zeroifier": to_m(np_finv(z_h)),
     }
 
 

@@ -79,21 +79,39 @@ def pcs_commit(domains_and_evals: Sequence[Tuple[Domain, jnp.ndarray]]) -> Tuple
 
 
 @partial(jax.jit, static_argnames=("n",))
-def _zeta_powers_dev(z_canon: jnp.ndarray, n: int):
-    z = xe.from_array(xf.to_monty(z_canon))
-    stacked = tuple(
-        jnp.concatenate(
-            [jnp.full((1,), xf.R1 if k == 0 else 0, jnp.uint32),
-             jnp.broadcast_to(z[k], (n - 1,))]
-        )
-        for k in range(4)
+def _zeta_powers_dev(lo_canon: jnp.ndarray, hi_canon: jnp.ndarray, n: int):
+    """One broadcasted EF multiply: powers[a*m + j] = z^{a*m} * z^j."""
+    m = lo_canon.shape[0]
+    lo = xe.from_array(xf.to_monty(lo_canon))  # (m,) planes: z^0..z^{m-1}
+    hi = xe.from_array(xf.to_monty(hi_canon))  # (n//m,) planes: z^{0,m,2m,...}
+    prod = xe.emul(
+        tuple(h[:, None] for h in hi), tuple(l[None, :] for l in lo)
     )
-    return jax.lax.associative_scan(xe.emul, stacked, axis=0)
+    return tuple(p.reshape(-1)[:n] for p in prod)
 
 
 def _zeta_powers(zeta: tuple, n: int):
-    """EF4 plane tuple of (n,) Monty powers z^0..z^{n-1} via parallel scan."""
-    return _zeta_powers_dev(jnp.asarray(np.array(zeta, np.uint32)), n)
+    """EF4 plane tuple of (n,) Monty powers z^0..z^{n-1}.
+
+    The two sqrt(n)-sized power tables are exact host EF4 arithmetic; the
+    device does a single outer-product emul (tiny traced graph, vs the
+    associative_scan version whose lowering took tens of seconds to compile).
+    """
+    m = 1 << ((max(n, 2).bit_length() - 1 + 1) // 2)  # ~sqrt(n), power of two
+    m = min(m, n)
+    lo = [efh.ONE]
+    for _ in range(m - 1):
+        lo.append(efh.mul(lo[-1], zeta))
+    zm = efh.mul(lo[-1], zeta) if m > 1 else zeta
+    n_hi = (n + m - 1) // m
+    hi = [efh.ONE]
+    for _ in range(n_hi - 1):
+        hi.append(efh.mul(hi[-1], zm))
+    return _zeta_powers_dev(
+        jnp.asarray(np.array(lo, np.uint32)),
+        jnp.asarray(np.array(hi, np.uint32)),
+        n,
+    )
 
 
 def _fsum_rows(x):
@@ -296,15 +314,27 @@ def _ro_accum(ro, lde, alpha_pows_canon, s_canon, inv_xz):
     """ro += (sum_k alpha^k f_k(x) - S) / (x - z), one fused program.
 
     ro/inv_xz: EF plane tuples of (h,); alpha_pows_canon (w,4); s_canon (4,).
+    The alpha-weighted column fold is 4 whole-matrix mod-p multiplies plus a
+    pairwise tree reduction (constant-size traced graph in the width).
     """
     h, w = lde.shape
     ap = xf.to_monty(alpha_pows_canon)  # (w, 4)
-    a = xe.ezeros((h,))
-    for k in range(w):
-        a = xe.eadd(a, xe.emul_base(tuple(ap[k, t] for t in range(4)), lde[:, k]))
+    a = tuple(_fsum_cols(xf.fmul(lde, ap[None, :, t])) for t in range(4))
     s_dev = xe.from_array(xf.to_monty(s_canon))
     diff = xe.esub(a, tuple(jnp.broadcast_to(s_dev[t], (h,)) for t in range(4)))
     return xe.eadd(ro, xe.emul(diff, inv_xz))
+
+
+def _fsum_cols(x):
+    """Exact mod-p sum over the last axis by pairwise tree reduction."""
+    n = x.shape[-1]
+    while n > 1:
+        if n % 2 == 1:
+            x = jnp.concatenate([x, jnp.zeros_like(x[..., :1])], axis=-1)
+            n += 1
+        x = xf.fadd(x[..., 0::2], x[..., 1::2])
+        n = x.shape[-1]
+    return x[..., 0]
 
 
 @partial(jax.jit, static_argnames=("log_h",))

@@ -25,6 +25,7 @@ from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import ext as xe
 from ..ops import field as xf
@@ -53,20 +54,40 @@ def _interactions(chip: Chip):
 _PERM_JITS = {}
 
 
-def generate_permutation_trace(chip: Chip, prep, main, alpha, beta):
-    """Jit-dispatched wrapper; one compiled program per (chip, shapes)."""
+def host_beta_pows(chip: Chip, beta_host) -> "np.ndarray":
+    """(max_vals+1, 4) canonical beta powers 1, beta, beta^2, ... (host exact).
+
+    beta is a host transcript sample; computing its powers host-side keeps
+    scalar EF multiply chains out of every per-chip device graph.
+    """
+    from . import ef_host as efh
+
+    inter = _interactions(chip)
+    max_vals = max(len(lk.values) for lk, _ in inter)
+    pows = [efh.ONE]
+    for _ in range(max_vals):
+        pows.append(efh.mul(pows[-1], beta_host))
+    return np.array(pows, np.uint32)
+
+
+def generate_permutation_trace(chip: Chip, prep, main, alpha, beta_host):
+    """Jit-dispatched wrapper; one compiled program per (chip, shapes).
+
+    alpha: (4,) Monty device array; beta_host: exact host EF4 tuple.
+    """
+    bpows = jnp.asarray(host_beta_pows(chip, beta_host))
     key = (id(chip), prep is None)
     if key not in _PERM_JITS:
         if prep is None:
             _PERM_JITS[key] = jax.jit(
-                lambda m, a, b: _generate_permutation_trace(chip, None, m, a, b)
+                lambda m, a, bp: _generate_permutation_trace(chip, None, m, a, bp)
             )
         else:
             _PERM_JITS[key] = jax.jit(
-                lambda p, m, a, b: _generate_permutation_trace(chip, p, m, a, b)
+                lambda p, m, a, bp: _generate_permutation_trace(chip, p, m, a, bp)
             )
     fn = _PERM_JITS[key]
-    return fn(main, alpha, beta) if prep is None else fn(prep, main, alpha, beta)
+    return fn(main, alpha, bpows) if prep is None else fn(prep, main, alpha, bpows)
 
 
 def _generate_permutation_trace(
@@ -74,7 +95,7 @@ def _generate_permutation_trace(
     prep,  # (N, PW) Monty or None
     main,  # (N, W) Monty
     alpha,  # (4,) Monty EF
-    beta,  # (4,) Monty EF
+    beta_pows_canon,  # (max_vals+1, 4) canonical host beta powers
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (perm_trace (N, PW, 4) Monty, cumulative_sum (4,) Monty).
 
@@ -89,12 +110,8 @@ def _generate_permutation_trace(
     n_inter = len(inter)
 
     alpha_p = xe.from_array(alpha)
-    beta_p = xe.from_array(beta)
-
-    max_vals = max(len(lk.values) for lk, _ in inter)
-    beta_pows = [xe.eones(())]  # beta^0
-    for _ in range(max_vals):
-        beta_pows.append(xe.emul(beta_pows[-1], beta_p))
+    bp = xf.to_monty(beta_pows_canon)
+    beta_pows = [tuple(bp[j, k] for k in range(4)) for j in range(bp.shape[0])]
 
     # Denominators per interaction, gathered into (N, I) planes.
     denom_cols = [[] for _ in range(4)]
@@ -157,9 +174,11 @@ def eval_permutation_constraints(chip: Chip, b) -> None:
     alpha, beta = b.perm_challenges[0], b.perm_challenges[1]
 
     max_vals = max(len(lk.values) for lk, _ in inter)
-    beta_pows = [b._const(1).as_ext()]
-    for _ in range(max_vals):
-        beta_pows.append(beta_pows[-1] * beta)
+    beta_pows = getattr(b, "perm_beta_pows", None)
+    if beta_pows is None:
+        beta_pows = [b._const(1).as_ext()]
+        for _ in range(max_vals):
+            beta_pows.append(beta_pows[-1] * beta)
 
     def affine_value(aff: Affine):
         acc = b._const(aff.const)

@@ -110,7 +110,6 @@ class TpuProver:
         challenger.observe_commitment([int(x) for x in shard_data["root"]])
         perm_challenges = [challenger.sample_ext() for _ in range(2)]
         alpha_dev = _ext_to_dev(perm_challenges[0])
-        beta_dev = _ext_to_dev(perm_challenges[1])
 
         # Permutation traces (device), flattened EF -> base columns.
         t0 = time.time()
@@ -120,7 +119,9 @@ class TpuProver:
             prep = None
             if chip.name in pk.chip_ordering:
                 prep = pk.traces[pk.chip_ordering[chip.name]]
-            perm, csum = generate_permutation_trace(chip, prep, trace, alpha_dev, beta_dev)
+            perm, csum = generate_permutation_trace(
+                chip, prep, trace, alpha_dev, perm_challenges[1]
+            )
             perm_traces.append(perm)
             cumulative_sums.append(csum)
         cumulative_sums_host = [
@@ -152,7 +153,6 @@ class TpuProver:
             challenger.observe_slice(list(csum))
 
         alpha = challenger.sample_ext()
-        alpha_fold_dev = _ext_to_dev(alpha)
 
         # Quotient evaluation per chip on its disjoint coset.
         t0 = time.time()
@@ -176,8 +176,8 @@ class TpuProver:
                 prep_lde,
                 main_lde,
                 perm_lde,
-                [alpha_dev, beta_dev],
-                alpha_fold_dev,
+                perm_challenges,
+                alpha,
                 cumulative_sums[i],
             )
             chunks = split_quotient_chunks(qdomain, qvals, 1 << log_qd)

@@ -56,7 +56,7 @@ def uni_stark_prove(
     alpha = challenger.sample_ext()
 
     qdomain = tdomain.create_disjoint_domain(1 << (log_n + log_qd))
-    qvals = _uni_quotient(chip, tdomain, qdomain, data.ldes[0], jnp.asarray(np.array(alpha, np.uint32)))
+    qvals = _uni_quotient(chip, tdomain, qdomain, data.ldes[0], alpha)
     chunks = [qvals[k :: 1 << log_qd].reshape(-1, 4) for k in range(1 << log_qd)]
     sub_domains = qdomain.split_domains(1 << log_qd)
     qroot, qdata = pcs_commit(list(zip(sub_domains, chunks)))
@@ -84,13 +84,51 @@ def uni_stark_prove(
 
 
 _UNI_QJITS = {}
+_UNI_FLAGS = {}
 
 
-def _uni_quotient(chip: Chip, tdomain, qdomain, main_lde, alpha_canon):
+def _uni_constraint_flags(chip: Chip):
+    """AIR-only ext-flag schedule (no permutation constraints), cached."""
+    key = id(chip)
+    if key not in _UNI_FLAGS:
+        be = HostEFBackend
+        flags = []
+        one = efh.from_base(1)
+        b = NumericBuilder(
+            backend=be,
+            main_local=lambda i: V(be, one),
+            main_next=lambda i: V(be, one),
+            prep_local=(lambda i: V(be, one)) if chip.preprocessed_width else None,
+            prep_next=(lambda i: V(be, one)) if chip.preprocessed_width else None,
+            is_first_row=V(be, one),
+            is_last_row=V(be, one),
+            is_transition=V(be, one),
+            on_constraint=lambda v: flags.append(v.ext),
+        )
+        chip.eval(b)
+        _UNI_FLAGS[key] = flags
+    return _UNI_FLAGS[key]
+
+
+def _uni_quotient(chip: Chip, tdomain, qdomain, main_lde, alpha_host):
+    from .quotient import _fsum_axis0
+
+    flags = _uni_constraint_flags(chip)
+    k_total = len(flags)
+    pows = [efh.ONE]
+    for _ in range(k_total - 1):
+        pows.append(efh.mul(pows[-1], alpha_host))
+    base_w = np.array(
+        [pows[k_total - 1 - j] for j, ext in enumerate(flags) if not ext], np.uint32
+    ).reshape(-1, 4)
+    ext_w = np.array(
+        [pows[k_total - 1 - j] for j, ext in enumerate(flags) if ext], np.uint32
+    ).reshape(-1, 4)
+
     key = (id(chip), tdomain, qdomain)
     if key not in _UNI_QJITS:
 
-        def impl(lde, alpha_c):
+        def impl(lde, bw_c, ew_c):
             nq = qdomain.size
             next_step = 1 << (qdomain.log_n - tdomain.log_n)
             sels = selectors_on_coset(tdomain.log_n, qdomain.log_n, qdomain.shift)
@@ -109,22 +147,36 @@ def _uni_quotient(chip: Chip, tdomain, qdomain, main_lde, alpha_canon):
                 on_constraint=lambda v: collected.append((v.p, v.ext)),
             )
             chip.eval(b)
-            alpha_p = xe.from_array(xf.to_monty(alpha_c))
             acc = xe.ezeros((nq,))
-            k_total = len(collected)
-            apow = xe.eones(())
-            apows = []
-            for _ in range(k_total):
-                apows.append(apow)
-                apow = xe.emul(apow, alpha_p)
-            for j, (payload, ext) in enumerate(collected):
-                w = apows[k_total - 1 - j]
-                contrib = xe.emul(payload, w) if ext else xe.emul_base(w, payload)
-                acc = xe.eadd(acc, contrib)
+            base_payloads = [
+                jnp.broadcast_to(p, (nq,)) for (p, ext) in collected if not ext
+            ]
+            ext_payloads = [
+                tuple(jnp.broadcast_to(pl, (nq,)) for pl in p)
+                for (p, ext) in collected
+                if ext
+            ]
+            if base_payloads:
+                bstack = jnp.stack(base_payloads)
+                bw = xf.to_monty(bw_c)
+                acc = xe.eadd(
+                    acc,
+                    tuple(
+                        _fsum_axis0(xf.fmul(bstack, bw[:, k][:, None]))
+                        for k in range(4)
+                    ),
+                )
+            if ext_payloads:
+                estack = tuple(
+                    jnp.stack([p[k] for p in ext_payloads]) for k in range(4)
+                )
+                ew = xf.to_monty(ew_c)
+                prod = xe.emul(estack, tuple(ew[:, k][:, None] for k in range(4)))
+                acc = xe.eadd(acc, tuple(_fsum_axis0(pl) for pl in prod))
             return jnp.stack(list(xe.emul_base(acc, sels["inv_zeroifier"])), axis=-1)
 
         _UNI_QJITS[key] = jax.jit(impl)
-    return _UNI_QJITS[key](main_lde, alpha_canon)
+    return _UNI_QJITS[key](main_lde, jnp.asarray(base_w), jnp.asarray(ext_w))
 
 
 def uni_stark_verify(

@@ -3,6 +3,11 @@
 The proving pipeline compiles many mid-sized kernels per trace shape; the
 on-disk cache makes repeat runs (tests, benches, prover services) skip XLA
 compilation entirely.  Idempotent; respects an existing user setting.
+
+Only compilations that took >= 1s are cached (the JAX default): lowering the
+threshold to 0 makes every tiny eager op take the Python dispatch path plus a
+disk read, which measures ~0.35s per op-shape on this image - catastrophically
+slower than just recompiling.
 """
 
 from __future__ import annotations
@@ -26,8 +31,11 @@ def enable_compilation_cache(path: str | None = None):
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # Cache anything that took >= 0.2s to compile: the prover's per-chip
+        # programs mostly compile in 0.2-50s and recur across runs, while
+        # eager per-op compiles stay in the 1-20ms range and must NOT hit the
+        # disk path (a 0-second threshold measured ~0.35s of disk I/O per op).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     except Exception:
         pass
     _done = True
