@@ -113,13 +113,18 @@ def fri_prove(
     pow_witness = challenger.grind(pow_bits)
     indices = [challenger.sample_bits(log_max) for _ in range(num_queries)]
 
-    # Commit-phase query openings.
+    # Commit-phase query openings: all gathers device-side, ONE transfer.
+    from ..utils.transfer import fetch_all
+
     idx = np.asarray(indices, np.int64)
-    per_layer = []
+    pieces = []
     for tree in trees:
-        rows, paths = mk.open_batch(tree, idx >> 1)
-        per_layer.append((rows[0], paths))
+        rows_dev, paths_dev = mk.open_batch_device(tree, idx >> 1)
+        pieces.append(rows_dev[0])
+        pieces.append(paths_dev)
         idx = idx >> 1
+    fetched = fetch_all(pieces)
+    per_layer = [(fetched[2 * l], fetched[2 * l + 1]) for l in range(len(trees))]
     query_commit_openings = []
     for q in range(num_queries):
         query_commit_openings.append(

@@ -180,10 +180,14 @@ def pcs_open(
     # 1. Evaluate all openings from coefficients.  Matrices sharing
     # (height, shift, point) are evaluated in one fused kernel (concatenated
     # columns) to keep the number of compiled shapes small.
+    from ..utils.transfer import fetch_all
+
     opened_values = [
         [[None] * len(pts) for pts in points_per_mat] for _, points_per_mat in rounds
     ]
     zpow_cache: Dict[Tuple[tuple, int], jnp.ndarray] = {}
+    eval_pieces: List[jnp.ndarray] = []
+    eval_plan: List[Tuple[int, list]] = []
     for r, (data, points_per_mat) in enumerate(rounds):
         groups: Dict[tuple, list] = {}
         for i, (domain, coeffs, pts) in enumerate(
@@ -200,14 +204,18 @@ def pcs_open(
             if key not in zpow_cache:
                 zpow_cache[key] = _zeta_powers(zs, n)
             cat = jnp.concatenate([data.coeffs[i] for i, _ in members], axis=1)
-            ys = eval_matrix_at_point(cat, zpow_cache[key])
-            off = 0
-            for i, pi in members:
-                w = data.coeffs[i].shape[1]
-                opened_values[r][i][pi] = [
-                    tuple(int(x) for x in y) for y in ys[off : off + w]
-                ]
-                off += w
+            eval_pieces.append(_eval_matrix_at_point_dev(cat, zpow_cache[key]))
+            eval_plan.append((r, members))
+    # ONE blocking transfer for every opened value in every round.
+    for ys, (r, members) in zip(fetch_all(eval_pieces), eval_plan):
+        data = rounds[r][0]
+        off = 0
+        for i, pi in members:
+            w = data.coeffs[i].shape[1]
+            opened_values[r][i][pi] = [
+                tuple(int(x) for x in y) for y in ys[off : off + w]
+            ]
+            off += w
 
     # 2. Bind opened values, then sample the combination challenge.
     for round_vals in opened_values:
@@ -265,14 +273,28 @@ def pcs_open(
     # 4. FRI.
     fri_proof, indices = fri_prove(ro, challenger, LOG_BLOWUP, num_queries, pow_bits)
 
-    # 5. Input-batch openings at the query indices.
+    # 5. Input-batch openings at the query indices: device gathers for all
+    # rounds, then ONE blocking transfer.
+    from ..utils.transfer import fetch_all
+
     log_global = max(ro.keys())
     idx = np.asarray(indices, np.int64)
-    per_round: List[Tuple[List[np.ndarray], np.ndarray]] = []
+    pieces: List = []
+    piece_plan: List[int] = []
     for data, _pts in rounds:
         log_batch = data.tree.max_height.bit_length() - 1
-        rows, paths = mk.open_batch(data.tree, idx >> (log_global - log_batch))
-        per_round.append((rows, paths))
+        rows_dev, paths_dev = mk.open_batch_device(
+            data.tree, idx >> (log_global - log_batch)
+        )
+        pieces.extend(rows_dev)
+        pieces.append(paths_dev)
+        piece_plan.append(len(rows_dev))
+    fetched = fetch_all(pieces)
+    per_round: List[Tuple[List[np.ndarray], np.ndarray]] = []
+    off = 0
+    for n_rows in piece_plan:
+        per_round.append((fetched[off : off + n_rows], fetched[off + n_rows]))
+        off += n_rows + 1
     query_input_openings = []
     for q in range(num_queries):
         per_q = []

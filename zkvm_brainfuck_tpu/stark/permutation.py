@@ -208,10 +208,13 @@ def eval_permutation_constraints(chip: Chip, b) -> None:
             product = product * r
         numerator = None
         for i, m in enumerate(ms):
-            term = m.as_ext()
+            # start from the base-field multiplicity: the first rlc multiply
+            # is then ext*base (4 muls) instead of a full EF product (16)
+            term = m
             for j, r in enumerate(rlcs):
                 if j != i:
                     term = term * r
+            term = term.as_ext()
             numerator = term if numerator is None else numerator + term
         b.assert_eq_ext(perm_local[bi] * product, numerator)
 

@@ -124,8 +124,11 @@ class TpuProver:
             )
             perm_traces.append(perm)
             cumulative_sums.append(csum)
+        from ..utils.transfer import fetch_all
+
         cumulative_sums_host = [
-            tuple(int(x) for x in np.asarray(xf.from_monty(c))) for c in cumulative_sums
+            tuple(int(x) for x in c)
+            for c in fetch_all([xf.from_monty(c) for c in cumulative_sums])
         ]
         log.debug("generated permutation traces in %.3fs", time.time() - t0)
 
