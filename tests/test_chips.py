@@ -76,3 +76,56 @@ def test_constraints_and_balance(src, inp):
         assert not fails, fails
     imbalance = debug_lookup_balance(triples)
     assert imbalance == {}, dict(list(imbalance.items())[:5])
+
+
+def test_kb_bit_decomposition_gadget():
+    """KoalaBearBitDecomposition (operations/koala_bear_range.rs:10-113):
+    32-bit range-check gadget — honest witnesses pass, value >= p fails."""
+    import jax.numpy as jnp
+
+    from zkvm_brainfuck_tpu.models.operations import (
+        KB_BIT_DECOMPOSITION,
+        eval_kb_bit_decomposition,
+        populate_kb_bit_decomposition,
+    )
+    from zkvm_brainfuck_tpu.ops.field import P
+    from zkvm_brainfuck_tpu.stark.builder import NumericBuilder, NumpyBackend, V
+
+    def run(values):
+        vals = jnp.asarray(np.asarray(values, np.uint32))
+        cols = populate_kb_bit_decomposition(vals)
+        mat = np.asarray(KB_BIT_DECOMPOSITION.assemble(cols, len(values)))
+        n = mat.shape[0]
+        mat64 = mat.astype(np.uint64)
+        fails = []
+
+        def on_constraint(v: V):
+            arr = np.broadcast_to(v.p, (n,))
+            if arr.any():
+                fails.append(np.nonzero(arr)[0].tolist())
+
+        be = NumpyBackend
+        b = NumericBuilder(
+            backend=be,
+            main_local=lambda i: V(be, mat64[:, i]),
+            main_next=lambda i: V(be, mat64[:, i]),
+            prep_local=None,
+            prep_next=None,
+            is_first_row=V(be, np.zeros(n, np.uint64)),
+            is_last_row=V(be, np.zeros(n, np.uint64)),
+            is_transition=V(be, np.ones(n, np.uint64)),
+            on_constraint=on_constraint,
+        )
+        view = KB_BIT_DECOMPOSITION.view(lambda i: V(be, mat64[:, i]))
+        value = V(be, (np.asarray(values, np.uint64) % P))
+        eval_kb_bit_decomposition(b, value, view, V(be, np.ones(n, np.uint64)))
+        return fails
+
+    rng = np.random.default_rng(7)
+    good = rng.integers(0, P, size=64, dtype=np.uint32)
+    good[:3] = [0, 1, P - 1]
+    assert run(good) == []
+
+    # value = p: bits reconstruct p (== 0 in-field) with the 0x7f top byte;
+    # the and-chain fires and the low-bit sum is nonzero -> must fail
+    assert run([P]) != []

@@ -124,6 +124,69 @@ def populate_kb_word_range_check(value):
     return cols
 
 
+# ---------------------------------------------------------------------------
+# KoalaBearBitDecomposition (operations/koala_bear_range.rs:10-113)
+# Full 32-bit variant of the word range check: prove a single field value,
+# given as 32 bit columns, is < p = 0x7f000001.  Unused by the 8 chips in the
+# reference too; kept as a utility gadget for parity.
+# ---------------------------------------------------------------------------
+
+KB_BIT_DECOMPOSITION = Layout(
+    [
+        ("bits", 32),
+        ("and_most_sig_byte_decomp_0_to_2", 1),
+        ("and_most_sig_byte_decomp_0_to_3", 1),
+        ("and_most_sig_byte_decomp_0_to_4", 1),
+        ("and_most_sig_byte_decomp_0_to_5", 1),
+        ("and_most_sig_byte_decomp_0_to_6", 1),
+        ("and_most_sig_byte_decomp_0_to_7", 1),
+    ]
+)
+
+
+def eval_kb_bit_decomposition(b, value, cols, is_real):
+    """value reconstructs from cols.bits; the reconstruction is < p."""
+    w = b.when(is_real)
+    recomposed = None
+    for i, bit in enumerate(cols.bits):
+        w.assert_bool(bit)
+        term = bit * (1 << i)
+        recomposed = term if recomposed is None else recomposed + term
+    w.assert_eq(recomposed, value)
+    msb = cols.bits[24:32]
+    # value < 2^31, and if the top byte is 0x7f the low 24 bits must be 0
+    w.assert_zero(msb[7])
+    ands = [
+        cols.and_most_sig_byte_decomp_0_to_2,
+        cols.and_most_sig_byte_decomp_0_to_3,
+        cols.and_most_sig_byte_decomp_0_to_4,
+        cols.and_most_sig_byte_decomp_0_to_5,
+        cols.and_most_sig_byte_decomp_0_to_6,
+        cols.and_most_sig_byte_decomp_0_to_7,
+    ]
+    w.assert_eq(ands[0], msb[0] * msb[1])
+    for k in range(1, 6):
+        w.assert_eq(ands[k], ands[k - 1] * msb[k + 1])
+    lower_sum = None
+    for bit in cols.bits[0:24]:
+        lower_sum = bit if lower_sum is None else lower_sum + bit
+    b.when(is_real).when(ands[5]).assert_zero(lower_sum)
+
+
+def populate_kb_bit_decomposition(value):
+    """value: (N,) uint32. Returns dict keyed by layout paths."""
+    cols = {}
+    bits = [((value >> i) & 1).astype(jnp.uint32) for i in range(32)]
+    for i in range(32):
+        cols[f"bits[{i}]"] = bits[i]
+    acc = bits[24] * bits[25]
+    cols["and_most_sig_byte_decomp_0_to_2"] = acc
+    for k, nm in enumerate(["3", "4", "5", "6", "7"]):
+        acc = acc * bits[26 + k]
+        cols[f"and_most_sig_byte_decomp_0_to_{nm}"] = acc
+    return cols
+
+
 def word_bytes(value):
     """(N,) u32 -> list of 4 LE byte arrays."""
     return [((value >> (8 * i)) & 0xFF).astype(jnp.uint32) for i in range(4)]
