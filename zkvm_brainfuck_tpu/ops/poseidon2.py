@@ -8,11 +8,15 @@ column 0, rows 17..21 terminal external).
 
 The external linear layer is the standard Poseidon2 "MDS-light" construction
 (M4 = circ-style HorizenLabs matrix applied blockwise, then cross-block column
-sums).  The internal layer is `out = J*state + diag(V)*state`.  V below follows
-the upstream Plonky3 KoalaBear-16 parameterization (small rationals /
-inverse powers of two); it lives in INTERNAL_DIAG as the single swap point if
-bit-compat against a particular fork revision is required - the prover and
-verifier in this repo are self-consistent for any valid V.
+sums).  The internal layer is `out = J*state + diag(V)*state` with V =
+[-2, 1, 2, 1/2, 3, 4, -1/2, -3, -4, 1/2^8, 1/8, 1/2^24, -1/2^8, -1/8, -1/16,
+-1/2^24] - the Plonky3 KoalaBear-16 internal diagonal
+(p3_koala_bear::poseidon2, inherited unchanged by the zkMIPS fork the
+reference pins: git+https://github.com/zkMIPS/Plonky3
+@ 93967fce8949d2275c06fd91e9f495a35418d68d, reference Cargo.lock).  The round
+constants are the reference's own RC_16_30, NOT Plonky3's defaults.  Known-
+answer vectors for the permutation/sponge/compress are pinned in
+tests/test_poseidon2.py so any drift in these parameters fails loudly.
 
 Device path: state is a (batch, 16) uint32 array in Montgomery form; the whole
 permutation is elementwise VPU work that XLA fuses (no matmuls - the linear
@@ -54,7 +58,7 @@ def _frac(num: int, den: int) -> int:
     return (num % P) * pow(den, P - 2, P) % P
 
 
-# Internal diagonal V (see module docstring).
+# Internal diagonal V (see module docstring; Plonky3 KoalaBear-16).
 INTERNAL_DIAG = [
     P - 2,  # -2
     1,
@@ -66,11 +70,11 @@ INTERNAL_DIAG = [
     P - 3,
     P - 4,
     _frac(1, 1 << 8),  # 1/2^8
-    _frac(1, 4),
     _frac(1, 8),
     _frac(1, 1 << 24),  # 1/2^24
     P - _frac(1, 1 << 8),
-    P - _frac(1, 4),
+    P - _frac(1, 8),
+    P - _frac(1, 16),
     P - _frac(1, 1 << 24),
 ]
 assert len(set(INTERNAL_DIAG)) == WIDTH

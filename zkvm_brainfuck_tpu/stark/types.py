@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pickle
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -60,11 +59,17 @@ class ShardProof:
         return self.opened_values[idx].log_degree
 
     def to_bytes(self) -> bytes:
-        return pickle.dumps(self)
+        """Deterministic length-prefixed u32 encoding (stark/serial.py)."""
+        from .serial import encode_shard_proof
+
+        return encode_shard_proof(self)
 
     @staticmethod
     def from_bytes(data: bytes) -> "ShardProof":
-        return pickle.loads(data)
+        """Safe parse of untrusted bytes (raises ProofDecodeError)."""
+        from .serial import decode_shard_proof
+
+        return decode_shard_proof(data)
 
 
 @dataclass
@@ -72,8 +77,8 @@ class MachineProof:
     shard_proof: ShardProof
 
     def to_bytes(self) -> bytes:
-        return pickle.dumps(self)
+        return self.shard_proof.to_bytes()
 
     @staticmethod
     def from_bytes(data: bytes) -> "MachineProof":
-        return pickle.loads(data)
+        return MachineProof(shard_proof=ShardProof.from_bytes(data))
