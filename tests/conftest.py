@@ -22,6 +22,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-from zkvm_brainfuck_tpu.utils.jax_setup import enable_compilation_cache
+from zkvm_brainfuck_tpu.utils.jax_setup import enable_compilation_cache, enable_cpu_fast_field
 
 enable_compilation_cache()
+enable_cpu_fast_field()

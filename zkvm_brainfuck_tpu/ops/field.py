@@ -71,12 +71,32 @@ def fneg(a):
     return jnp.where(a == 0, a, _u32(P) - a)
 
 
+RINV = pow(1 << 32, -1, P)  # 2^-32 mod p
+
+
+@functools.lru_cache(maxsize=None)
+def _fast_u64() -> bool:
+    """True on backends with native 64-bit integer ops (CPU test runs).
+
+    The 16-bit-limb Montgomery product is 18 primitive ops; on the XLA CPU
+    backend that inflates traced graphs (and compile time, the dominant test
+    cost) ~3x over the native-u64 form.  TPU lanes have no 64-bit multiply,
+    so the limb path stays the device implementation there.
+    """
+    import jax
+
+    return jax.default_backend() == "cpu" and jax.config.jax_enable_x64
+
+
 def fmul(a, b):
     """Montgomery product: a * b * 2^-32 mod p, for canonical uint32 inputs.
 
     16-bit limb decomposition keeps every partial product inside uint32;
     the REDC `m*p` recombination uses p_lo == 1 so it needs only 2 multiplies.
     """
+    if _fast_u64():
+        t = jnp.asarray(a, jnp.uint64) * jnp.asarray(b, jnp.uint64)
+        return ((t % P) * RINV % P).astype(_U32)
     a = _u32(a)
     b = _u32(b)
     mask = _u32(0xFFFF)

@@ -10,26 +10,28 @@ Commit semantics for a batch of matrices with power-of-two heights:
   matches some matrices' height, their row-hash is folded in with an extra
   compress (p3's compress-and-inject).
 
-Dispatch discipline (the tunneled-TPU lesson): device dispatches cost ~0.5ms
-client-side and more server-side, and a proof builds ~25 trees, so the tree
-walk is packed into few launches:
-- leaf digest layers are ONE jitted program per (heights x widths) signature;
-- levels above `TAIL` rows run as one eager compress per level (they are few
-  and large);
-- every run of levels at or below `TAIL` rows collapses into one jitted
-  "tail" program per (size, n_levels) signature (signatures repeat across
-  trees and layers, so these compile once);
-- all levels are concatenated into ONE flat device array, so a query opening
-  is a single gather over host-computed offsets, and the whole query phase
-  across all trees can be fetched with one blocking transfer
-  (utils/transfer.fetch_all).
+Compile discipline (the round-2 lesson: XLA compile time, not compute, was
+the prover's cost): the whole tree build is a *traceable function* with a
+CONSTANT-SIZE graph, independent of tree height:
+
+- the leaf sponge is `lax.scan` over rate-8 column chunks (ONE Poseidon2
+  permutation instance in the graph, any width);
+- every tree level lives in one flat (L, 8) buffer at host-planned offsets,
+  with small levels padded to CHUNK rows, so the entire level walk is ONE
+  `lax.scan` over a (src, dst) offset schedule whose body is a single
+  fixed-shape compress of CHUNK pairs;
+- compress-and-inject points split the schedule into a handful of scans.
+
+`commit()` wraps the builder in one jit per batch signature; `build_traced`
+is reused inside fused PCS/FRI programs so a whole commit (NTT + LDE +
+bit-reversal + tree) is a single compiled program.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import lru_cache
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,67 +40,226 @@ import numpy as np
 from . import field as f
 from . import poseidon2 as p2
 
-TAIL = 1024  # levels at or below this size are built inside one jit
+CHUNK = 4096  # rows per schedule step; levels below this are padded
+
+
+# ---------------------------------------------------------------------------
+# Host-side plan
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TreePlan:
+    """Host-computed layout/schedule for one batch signature.
+
+    Flat buffer regions: region 0 is the digest layer (height max_h, padded to
+    at least 2*CHUNK rows); region i >= 1 holds the size-(max_h >> i) level,
+    padded to at least CHUNK rows.  Every schedule step reads 2*CHUNK rows and
+    writes CHUNK compressed rows, so one scan body serves every level.
+    """
+
+    heights: Tuple[int, ...]  # per matrix, batch order
+    max_h: int
+    log_max: int
+    level_off: Tuple[int, ...]  # offset of level i (0 = digest layer)
+    flat_len: int
+    # segments: ("steps", src offsets, dst offsets) | ("inject", height, level_idx)
+    segments: Tuple[tuple, ...]
+
+
+@lru_cache(maxsize=None)
+def make_plan(heights: Tuple[int, ...]) -> TreePlan:
+    max_h = max(heights)
+    log_max = max_h.bit_length() - 1
+    inject_sizes = sorted({h for h in heights if h != max_h}, reverse=True)
+
+    level_off = [0]
+    off = max(max_h, 2 * CHUNK)
+    for i in range(1, log_max + 1):
+        level_off.append(off)
+        off += max(max_h >> i, CHUNK)
+    flat_len = off if log_max >= 1 else max(max_h, 2 * CHUNK)
+
+    segments: List[tuple] = []
+    src_run: List[int] = []
+    dst_run: List[int] = []
+
+    def flush():
+        nonlocal src_run, dst_run
+        if src_run:
+            segments.append(
+                ("steps", np.asarray(src_run, np.int32), np.asarray(dst_run, np.int32))
+            )
+            src_run, dst_run = [], []
+
+    for i in range(1, log_max + 1):
+        s = max_h >> i
+        n = max(s // CHUNK, 1)
+        for j in range(n):
+            src_run.append(level_off[i - 1] + j * 2 * CHUNK)
+            dst_run.append(level_off[i] + j * CHUNK)
+        if s in inject_sizes:
+            flush()
+            segments.append(("inject", s, i))
+    flush()
+
+    return TreePlan(
+        heights=tuple(heights),
+        max_h=max_h,
+        log_max=log_max,
+        level_off=tuple(level_off),
+        flat_len=flat_len,
+        segments=tuple(segments),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Traceable sponge / tree builder
+# ---------------------------------------------------------------------------
+
+
+def sponge_rows_traced(mats: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """PaddingFreeSponge 16/8/8 over row-wise concat of same-height matrices.
+
+    (H, W_total) -> (H, 8).  The full rate-8 chunks run under ONE lax.scan
+    (a single permutation instance in the graph); a trailing partial chunk
+    (W_total % 8 != 0) costs one more permutation instance.
+    """
+    h = mats[0].shape[0]
+    cols = [m[:, c] for m in mats for c in range(m.shape[1])]
+    w = len(cols)
+    n_full = w // 8
+    state = jnp.zeros((h, p2.WIDTH), dtype=jnp.uint32)
+    if n_full == 1:
+        # single permutation; scan overhead not worth it
+        chunk = jnp.stack(cols[:8], axis=1)
+        state = p2.permute(jnp.concatenate([chunk, state[:, 8:]], axis=1))
+    elif n_full > 1:
+        stacked = jnp.stack(
+            [jnp.stack(cols[i * 8 : (i + 1) * 8], axis=1) for i in range(n_full)]
+        )  # (n_full, H, 8)
+
+        def step(st, chunk):
+            st = p2.permute(jnp.concatenate([chunk, st[:, 8:]], axis=1))
+            return st, None
+
+        state, _ = jax.lax.scan(step, state, stacked)
+    rem = w - n_full * 8
+    if rem:
+        chunk = jnp.stack(cols[n_full * 8 :], axis=1)
+        state = p2.permute(jnp.concatenate([chunk, state[:, rem:]], axis=1))
+    return state[:, :8]
+
+
+def build_tree_traced(
+    plan: TreePlan, digests_by_height: dict
+) -> jnp.ndarray:
+    """Build the flat level buffer from per-height leaf digest layers.
+
+    digests_by_height: height -> (height, 8) Monty digest rows (bit-reversal,
+    if any, already applied by the caller).  Returns the (flat_len, 8) buffer;
+    the root lives at row plan.level_off[plan.log_max] (or row 0 when the
+    batch is a single-row matrix).
+    """
+    flat = jnp.zeros((plan.flat_len, 8), dtype=jnp.uint32)
+    flat = jax.lax.dynamic_update_slice(flat, digests_by_height[plan.max_h], (0, 0))
+
+    def step(buf, offs):
+        src, dst = offs
+        src = jnp.asarray(src, jnp.int32)
+        dst = jnp.asarray(dst, jnp.int32)
+        zero = jnp.int32(0)
+        block = jax.lax.dynamic_slice(buf, (src, zero), (2 * CHUNK, 8))
+        out = p2.permute(block.reshape(CHUNK, 16))[:, :8]
+        return jax.lax.dynamic_update_slice(buf, out, (dst, zero)), None
+
+    for seg in plan.segments:
+        if seg[0] == "steps":
+            src, dst = seg[1], seg[2]
+            if len(src) == 1:
+                flat, _ = step(flat, (int(src[0]), int(dst[0])))
+            else:
+                flat, _ = jax.lax.scan(
+                    step, flat, (jnp.asarray(src), jnp.asarray(dst))
+                )
+        else:
+            _, size, i = seg
+            inj = digests_by_height[size]
+            n = max(size // CHUNK, 1)
+            if size < CHUNK:
+                inj = jnp.pad(inj, ((0, CHUNK - size), (0, 0)))
+            off = plan.level_off[i]
+
+            def inj_step(buf, args):
+                o, inj_j = args
+                o = jnp.asarray(o, jnp.int32)
+                zero = jnp.int32(0)
+                cur = jax.lax.dynamic_slice(buf, (o, zero), (CHUNK, 8))
+                out = p2.permute(jnp.concatenate([cur, inj_j], axis=1))[:, :8]
+                return jax.lax.dynamic_update_slice(buf, out, (o, zero)), None
+
+            if n == 1:
+                flat, _ = inj_step(flat, (off, inj))
+            else:
+                offs = jnp.asarray(
+                    np.arange(n, dtype=np.int32) * CHUNK + off, jnp.int32
+                )
+                flat, _ = jax.lax.scan(
+                    inj_step, flat, (offs, inj.reshape(n, CHUNK, 8))
+                )
+    return flat
+
+
+def commit_traced(matrices: Sequence[jnp.ndarray]):
+    """Traceable batch commit: matrices (Monty, rows in final committed order)
+    -> (plan, flat).  Used inside fused PCS/FRI programs."""
+    heights = tuple(int(m.shape[0]) for m in matrices)
+    for h in heights:
+        assert h & (h - 1) == 0, "heights must be powers of two"
+    plan = make_plan(heights)
+    by_height: dict = {}
+    for m, h in zip(matrices, heights):
+        by_height.setdefault(h, []).append(m)
+    digests = {h: sponge_rows_traced(ms) for h, ms in by_height.items()}
+    return plan, build_tree_traced(plan, digests)
+
+
+def root_of(plan: TreePlan, flat: jnp.ndarray) -> jnp.ndarray:
+    """(8,) canonical root row (device)."""
+    return f.from_monty(flat[plan.level_off[plan.log_max]])
+
+
+# ---------------------------------------------------------------------------
+# Prover-side tree object + jitted standalone commit
+# ---------------------------------------------------------------------------
 
 
 @dataclass
 class MerkleTree:
-    """Prover-side commitment data for one batch of matrices.
-
-    `flat` stores every tree level (sizes H/2 ... 1) concatenated; level i
-    (1-indexed from the leaf-digest layer) occupies
-    flat[level_offsets[i-1] : level_offsets[i-1] + (H >> i)].
-    """
-
-    matrices: List[jnp.ndarray]  # committed matrices (Monty), original order
-    digests: jnp.ndarray  # leaf-digest layer at max height (H, 8) Monty
-    flat: jnp.ndarray  # all levels above the digest layer, concatenated
-    level_sizes: List[int]
-    level_offsets: List[int]
+    matrices: List[jnp.ndarray]  # matrices (Monty), original order
+    plan: TreePlan
+    flat: jnp.ndarray  # digest layer + all levels (padded regions)
     root: np.ndarray  # (8,) canonical uint32 (host)
+    # True when committed row i is matrices[k][bit_reverse(i)] (PCS LDEs are
+    # stored in natural order; the bit-reversal is resolved at open time with
+    # host-side index math instead of materializing reversed copies).
+    bitrev: bool = False
 
     @property
     def max_height(self) -> int:
-        return self.digests.shape[0]
-
-
-def _digest_sig(mats: Sequence[jnp.ndarray]) -> tuple:
-    return tuple((int(m.shape[0]), int(m.shape[1])) for m in mats)
+        return self.plan.max_h
 
 
 @lru_cache(maxsize=None)
-def _rows_digest_jit(sig: tuple):
+def _commit_jit(sig: tuple):
     def impl(*mats):
-        cols = []
+        plan = make_plan(tuple(h for h, _ in sig))
+        by_height: dict = {}
         for m in mats:
-            for c in range(m.shape[1]):
-                cols.append(m[:, c])
-        pieces = [
-            jnp.stack(cols[i : i + p2.RATE], axis=1)
-            for i in range(0, len(cols), p2.RATE)
-        ]
-        return p2.hash_row_chunks(pieces)
-
-    return jax.jit(impl)
-
-
-def _rows_digest(mats: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Hash row-wise concatenation of same-height matrices -> (H, 8)."""
-    return _rows_digest_jit(_digest_sig(mats))(*mats)
-
-
-@lru_cache(maxsize=None)
-def _tail_jit(size: int, n_levels: int):
-    """One program building `n_levels` exact tree levels from a (size, 8)
-    layer; returns them concatenated (sizes size/2, size/4, ...)."""
-
-    def impl(digests):
-        levels = []
-        cur = digests
-        for _ in range(n_levels):
-            cur = p2.compress(cur[0::2], cur[1::2])
-            levels.append(cur)
-        return jnp.concatenate(levels, axis=0) if len(levels) > 1 else levels[0]
+            by_height.setdefault(int(m.shape[0]), []).append(m)
+        digests = {h: sponge_rows_traced(ms) for h, ms in by_height.items()}
+        flat = build_tree_traced(plan, digests)
+        return flat, root_of(plan, flat)
 
     return jax.jit(impl)
 
@@ -106,69 +267,35 @@ def _tail_jit(size: int, n_levels: int):
 def commit(matrices: Sequence[jnp.ndarray]) -> MerkleTree:
     """Commit to a batch of (H_i, W_i) Monty matrices (H_i powers of two)."""
     assert matrices, "empty batch"
-    heights = [int(m.shape[0]) for m in matrices]
-    for h in heights:
-        assert h & (h - 1) == 0, "heights must be powers of two"
-    max_h = max(heights)
-
-    by_height = {}
-    for m, h in zip(matrices, heights):
-        by_height.setdefault(h, []).append(m)
-
-    inject_sizes = sorted((h for h in by_height if h != max_h), reverse=True)
-
-    digests = _rows_digest(by_height[max_h])
-    levels: List[jnp.ndarray] = []
-    level_sizes: List[int] = []
-
-    cur = digests
-    size = max_h
-    while size > 1:
-        # how many levels until the next injection (or the root)?
-        next_stop = inject_sizes[0] if inject_sizes else 1
-        if size <= TAIL:
-            n = (size // next_stop).bit_length() - 1
-            tail = _tail_jit(size, n)(cur)
-            off = 0
-            s = size
-            for _ in range(n):
-                s //= 2
-                levels.append(tail[off : off + s])
-                level_sizes.append(s)
-                off += s
-            cur = levels[-1]
-            size = s
-        else:
-            cur = p2.compress(cur[0::2], cur[1::2])
-            size //= 2
-            levels.append(cur)
-            level_sizes.append(size)
-        if inject_sizes and size == inject_sizes[0]:
-            inject_sizes.pop(0)
-            injected = _rows_digest(by_height[size])
-            cur = p2.compress(cur, injected)
-            levels[-1] = cur
-
-    if not levels:  # single-row batch: the digest layer is the root
-        return MerkleTree(
-            matrices=list(matrices),
-            digests=digests,
-            flat=digests,
-            level_sizes=[],
-            level_offsets=[],
-            root=np.asarray(f.from_monty(digests[0])),
-        )
-    flat = jnp.concatenate(levels, axis=0) if len(levels) > 1 else levels[0]
-    level_offsets = list(np.cumsum([0] + level_sizes[:-1]))
-    root = np.asarray(f.from_monty(flat[-1]))
+    sig = tuple((int(m.shape[0]), int(m.shape[1])) for m in matrices)
+    plan = make_plan(tuple(h for h, _ in sig))
+    flat, root_dev = _commit_jit(sig)(*matrices)
     return MerkleTree(
         matrices=list(matrices),
-        digests=digests,
+        plan=plan,
         flat=flat,
-        level_sizes=level_sizes,
-        level_offsets=[int(x) for x in level_offsets],
-        root=root,
+        root=np.asarray(root_dev),
     )
+
+
+# ---------------------------------------------------------------------------
+# Openings
+# ---------------------------------------------------------------------------
+
+
+def sibling_flat_indices(plan: TreePlan, indices: np.ndarray) -> np.ndarray:
+    """Host: flat-buffer row index of the sibling at every level.
+
+    indices: (Q,) leaf indices.  Returns (Q, log_max) int32 into the flat
+    buffer (level 0 sibling lives in the digest layer region).
+    """
+    q = len(indices)
+    out = np.empty((q, plan.log_max), dtype=np.int32)
+    idx = np.array(indices, np.int64)  # copy: `>>=` below must not mutate input
+    for level in range(plan.log_max):
+        out[:, level] = plan.level_off[level] + (idx ^ 1)
+        idx >>= 1
+    return out
 
 
 def open_batch_device(tree: MerkleTree, indices: np.ndarray):
@@ -177,38 +304,29 @@ def open_batch_device(tree: MerkleTree, indices: np.ndarray):
     Returns (opened_rows, proof) as CANONICAL device arrays:
     - opened_rows: list per matrix of (Q, W)
     - proof: (Q, log_max, 8) sibling digests, leaf-to-root order.
-    One gather per matrix plus ONE gather for all sibling levels; combine with
-    utils.transfer.fetch_all for a single blocking transfer across many trees.
     """
     indices = np.asarray(indices, dtype=np.int64)
-    max_h = tree.max_height
-    log_max = max_h.bit_length() - 1
+    plan = tree.plan
     q = len(indices)
 
     opened = []
     for m in tree.matrices:
         h = int(m.shape[0])
-        shift = log_max - (h.bit_length() - 1)
-        opened.append(f.from_monty(m[jnp.asarray(indices >> shift)]))
+        log_h = h.bit_length() - 1
+        rows = indices >> (plan.log_max - log_h)
+        if tree.bitrev:
+            from . import ntt as nt
 
-    if log_max == 0:
+            rows = nt.bit_reversal_perm(log_h)[rows]
+        opened.append(f.from_monty(m[jnp.asarray(rows)]))
+
+    if plan.log_max == 0:
         return opened, jnp.zeros((q, 0, 8), jnp.uint32)
 
-    # Sibling index per level, resolved into the flat layout host-side.
-    # Level 0 siblings live in the leaf-digest layer; levels 1.. in `flat`.
-    idx = indices
-    leaf_sib = idx ^ 1
-    flat_idx = np.empty((log_max - 1, q), dtype=np.int64)
-    for level in range(1, log_max):
-        idx = idx >> 1
-        flat_idx[level - 1] = tree.level_offsets[level - 1] + (idx ^ 1)
-    leaf_sibs = f.from_monty(tree.digests[jnp.asarray(leaf_sib)])  # (Q, 8)
-    if log_max > 1:
-        rest = f.from_monty(tree.flat[jnp.asarray(flat_idx.reshape(-1))])
-        rest = rest.reshape(log_max - 1, q, 8).transpose(1, 0, 2)
-        proof = jnp.concatenate([leaf_sibs[:, None, :], rest], axis=1)
-    else:
-        proof = leaf_sibs[:, None, :]
+    sib = sibling_flat_indices(plan, indices)  # (Q, L)
+    proof = f.from_monty(tree.flat[jnp.asarray(sib.reshape(-1))]).reshape(
+        q, plan.log_max, 8
+    )
     return opened, proof
 
 

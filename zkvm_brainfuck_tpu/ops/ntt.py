@@ -52,6 +52,44 @@ def _twiddles(log_n: int, inverse: bool):
     return tables
 
 
+@lru_cache(maxsize=None)
+def twiddle_blob(log_n: int, inverse: bool) -> np.ndarray:
+    """All stage tables concatenated: stage s at offset 2^(s-1)-1, length
+    2^(s-1).  Passed to traced NTTs as a device ARGUMENT so multi-MB tables
+    never get embedded in the HLO (compile/cache-key bloat)."""
+    if log_n == 0:
+        return np.zeros(1, np.uint32)
+    return np.concatenate(_twiddles(log_n, inverse))
+
+
+def ntt_traced(x, tw_blob, rev, log_n: int, inverse: bool):
+    """Traceable NTT down axis 0 with twiddles/permutation as arguments.
+
+    x: (2^log_n, ...) Monty; tw_blob covers at least log_n stages; rev is the
+    bit-reversal permutation (device arg, so multi-MB tables never get
+    embedded in the HLO).  Natural order in and out.
+    """
+    n = 1 << log_n
+    if log_n == 0:
+        return x
+    orig_shape = x.shape
+    x = x.reshape(n, -1)
+    cols = x.shape[1]
+    x = x[rev]
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        half = m // 2
+        tw = jax.lax.dynamic_slice_in_dim(tw_blob, half - 1, half)
+        y = x.reshape(n // m, m, cols)
+        u = y[:, :half, :]
+        v = f.fmul(y[:, half:, :], tw[None, :, None])
+        x = jnp.concatenate([f.fadd(u, v), f.fsub(u, v)], axis=1).reshape(n, cols)
+    if inverse:
+        n_inv = f.monty_of(pow(n, P - 2, P))
+        x = f.fmul(x, jnp.uint32(n_inv))
+    return x.reshape(orig_shape)
+
+
 def bit_reverse_rows(x):
     n = x.shape[0]
     log_n = n.bit_length() - 1

@@ -50,24 +50,92 @@ class PcsProverData:
         return self.tree.root
 
 
+# Device-resident argument tables (twiddle blobs, bit-reversal permutations,
+# LDE shift powers).  Passing these as jit ARGUMENTS instead of letting the
+# tracer embed them keeps multi-MB constants out of the HLO (compile time and
+# persistent-cache keys both scale with HLO size).
+@lru_cache(maxsize=None)
+def _tw_dev(log_n: int, inverse: bool) -> jnp.ndarray:
+    return jnp.asarray(nt.twiddle_blob(log_n, inverse))
+
+
+@lru_cache(maxsize=None)
+def _rev_dev(log_n: int) -> jnp.ndarray:
+    return jnp.asarray(nt.bit_reversal_perm(log_n).astype(np.int32))
+
+
+@lru_cache(maxsize=None)
+def _lde_shift_pows_dev(shift: int, log_n: int) -> jnp.ndarray:
+    lde_shift = GENERATOR * pow(shift, P - 2, P) % P
+    return jnp.asarray(xf.np_to_monty(xf.powers_host(lde_shift, 1 << log_n)))
+
+
+def _lde_traced(evals, log_n: int, aux: dict, spkey):
+    """intt -> shift-scale -> zero-pad -> ntt: one traced LDE (blowup 2)."""
+    n = 1 << log_n
+    log_lde = log_n + LOG_BLOWUP
+    c = nt.ntt_traced(evals, aux["inv"][log_n], aux["rev"][log_n], log_n, True) if log_n else evals
+    sc = xf.fmul(c, aux["sp"][spkey][:, None])
+    padded = jnp.pad(sc, ((0, n * ((1 << LOG_BLOWUP) - 1)), (0, 0)))
+    lde = nt.ntt_traced(padded, aux["fwd"][log_lde], aux["rev"][log_lde], log_lde, False)
+    return c, lde
+
+
+@lru_cache(maxsize=None)
+def _commit_program(sig: tuple):
+    """One fused program per batch signature: all iNTTs, LDEs, bit-reversed
+    leaf hashing and the full Merkle level walk in a single compile.
+
+    sig: tuple of (log_n, shift, width) per matrix, batch order.
+    """
+    heights = tuple(1 << (ln + LOG_BLOWUP) for ln, _, _ in sig)
+    plan = mk.make_plan(heights)
+
+    def impl(mats, aux):
+        coeffs, ldes = [], []
+        brev_by_height: Dict[int, list] = {}
+        for i, ((log_n, shift, _w), e) in enumerate(zip(sig, mats)):
+            c, lde = _lde_traced(e, log_n, aux, (shift, log_n))
+            coeffs.append(c)
+            ldes.append(lde)
+            log_lde = log_n + LOG_BLOWUP
+            brev = lde[aux["rev"][log_lde]]
+            brev_by_height.setdefault(1 << log_lde, []).append(brev)
+        digests = {
+            h: mk.sponge_rows_traced(ms) for h, ms in brev_by_height.items()
+        }
+        flat = mk.build_tree_traced(plan, digests)
+        return tuple(coeffs), tuple(ldes), flat, mk.root_of(plan, flat)
+
+    return plan, jax.jit(impl)
+
+
 def pcs_commit(domains_and_evals: Sequence[Tuple[Domain, jnp.ndarray]]) -> Tuple[np.ndarray, PcsProverData]:
-    """Commit a batch. evals: (2^log_n, W) canonical-or-monty? -> Monty expected."""
-    domains, coeffs, ldes, committed = [], [], [], []
-    for domain, evals in domains_and_evals:
-        assert evals.shape[0] == domain.size
-        c = nt.intt(evals)
-        lde_shift = GENERATOR * pow(domain.shift, P - 2, P) % P
-        lde = nt.coset_lde(evals, LOG_BLOWUP, lde_shift)
-        domains.append(domain)
-        coeffs.append(c)
-        ldes.append(lde)
-        committed.append(nt.bit_reverse_rows(lde))
-    tree = mk.commit(committed)
+    """Commit a batch of (2^log_n, W) Monty eval matrices: ONE compiled program."""
+    domains = [d for d, _ in domains_and_evals]
+    evals = [e for _, e in domains_and_evals]
+    for d, e in domains_and_evals:
+        assert e.shape[0] == d.size
+    sig = tuple(
+        (d.log_n, d.shift, int(e.shape[1])) for d, e in domains_and_evals
+    )
+    plan, fn = _commit_program(sig)
+    aux = {"inv": {}, "fwd": {}, "rev": {}, "sp": {}}
+    for log_n, shift, _w in sig:
+        log_lde = log_n + LOG_BLOWUP
+        if log_n:
+            aux["inv"][log_n] = _tw_dev(log_n, True)
+            aux["rev"].setdefault(log_n, _rev_dev(log_n))
+        aux["fwd"][log_lde] = _tw_dev(log_lde, False)
+        aux["rev"].setdefault(log_lde, _rev_dev(log_lde))
+        aux["sp"][(shift, log_n)] = _lde_shift_pows_dev(shift, log_n)
+    coeffs, ldes, flat, root_dev = fn(tuple(evals), aux)
+    tree = mk.MerkleTree(
+        matrices=list(ldes), plan=plan, flat=flat, root=np.asarray(root_dev),
+        bitrev=True,
+    )
     data = PcsProverData(
-        domains=domains,
-        evals=[e for _, e in domains_and_evals],
-        coeffs=coeffs,
-        ldes=ldes,
+        domains=domains, evals=evals, coeffs=list(coeffs), ldes=list(ldes),
         tree=tree,
     )
     return tree.root, data
@@ -90,12 +158,12 @@ def _zeta_powers_dev(lo_canon: jnp.ndarray, hi_canon: jnp.ndarray, n: int):
     return tuple(p.reshape(-1)[:n] for p in prod)
 
 
-def _zeta_powers(zeta: tuple, n: int):
-    """EF4 plane tuple of (n,) Monty powers z^0..z^{n-1}.
+def _zeta_power_tables(zeta: tuple, n: int):
+    """Host (lo, hi) sqrt-decomposed power tables for z^0..z^{n-1}.
 
-    The two sqrt(n)-sized power tables are exact host EF4 arithmetic; the
-    device does a single outer-product emul (tiny traced graph, vs the
-    associative_scan version whose lowering took tens of seconds to compile).
+    Exact host EF4 arithmetic; the device combines them with one
+    outer-product emul (`_zeta_powers_dev`) - a tiny traced graph, vs the
+    associative_scan version whose lowering took tens of seconds to compile.
     """
     m = 1 << ((max(n, 2).bit_length() - 1 + 1) // 2)  # ~sqrt(n), power of two
     m = min(m, n)
@@ -107,10 +175,9 @@ def _zeta_powers(zeta: tuple, n: int):
     hi = [efh.ONE]
     for _ in range(n_hi - 1):
         hi.append(efh.mul(hi[-1], zm))
-    return _zeta_powers_dev(
+    return (
         jnp.asarray(np.array(lo, np.uint32)),
         jnp.asarray(np.array(hi, np.uint32)),
-        n,
     )
 
 
@@ -126,22 +193,14 @@ def _fsum_rows(x):
     return x[0]
 
 
-@jax.jit
-def _eval_matrix_at_point_dev(coeffs: jnp.ndarray, zpows) -> jnp.ndarray:
+def _eval_mat_at_point_traced(coeffs: jnp.ndarray, zpows) -> jnp.ndarray:
+    """f_col(z) for all columns: (n, W) x planes (n,) -> (W, 4) canonical."""
     n, w = coeffs.shape
-    chunk = min(n, 1 << 15)
-    acc = [jnp.zeros((w,), jnp.uint32) for _ in range(4)]
-    for start in range(0, n, chunk):
-        cc = coeffs[start : start + chunk]
-        for k in range(4):
-            t = xf.fmul(cc, zpows[k][start : start + chunk, None])
-            acc[k] = xf.fadd(acc[k], _fsum_rows(t))
+    acc = []
+    for k in range(4):
+        t = xf.fmul(coeffs, zpows[k][:, None])
+        acc.append(_fsum_rows(t))
     return xf.from_monty(jnp.stack(acc, axis=-1))
-
-
-def eval_matrix_at_point(coeffs: jnp.ndarray, zpows) -> np.ndarray:
-    """f_col(z) for all columns: (n, W) x planes (n,) -> (W, 4) canonical host."""
-    return np.asarray(_eval_matrix_at_point_dev(coeffs, zpows))
 
 
 # ---------------------------------------------------------------------------
@@ -164,6 +223,98 @@ class PcsProof:
     query_input_openings: List[List[BatchOpening]]
 
 
+@lru_cache(maxsize=None)
+def _open_eval_program(sig: tuple):
+    """ONE fused program for every opened-value evaluation in every round.
+
+    sig: per round, per matrix: (log_n, shift, width, tuple of z-indices).
+    Inputs: coeff matrices + one (lo, hi) zeta-power table pair per distinct
+    (z-index, shift, log_n).  Output: tuple of (W, 4) canonical arrays, one
+    per (group) in static group order.
+    """
+    groups: Dict[tuple, list] = {}
+    for r, mats in enumerate(sig):
+        for i, (log_n, shift, _w, zis) in enumerate(mats):
+            for pi, zi in enumerate(zis):
+                groups.setdefault((log_n, shift, zi), []).append((r, i, pi))
+    group_list = list(groups.items())
+
+    def impl(coeffs, zpows):
+        outs = []
+        for (log_n, shift, zi), members in group_list:
+            zp = _zeta_powers_dev(*zpows[(zi, shift, log_n)], n=1 << log_n)
+            cat = jnp.concatenate([coeffs[(r, i)] for r, i, _pi in members], axis=1)
+            outs.append(_eval_mat_at_point_traced(cat, zp))
+        return tuple(outs)
+
+    return group_list, jax.jit(impl)
+
+
+@lru_cache(maxsize=None)
+def _ro_program(sig: tuple):
+    """ONE fused program building every per-height reduced opening.
+
+    Alpha-power counters are per (height, point): quotients at DIFFERENT
+    points have distinct poles, so their contributions cannot cancel even
+    with shared alpha powers; columns at the SAME point always get distinct
+    consecutive powers.  Matrices sharing (height, point) are reduced over
+    concatenated columns.  Returns (plan, jitted fn); the plan carries the
+    static (group -> alpha-power offset) assignment the host needs to
+    compute the exact `s` sums.
+    """
+    groups: Dict[tuple, list] = {}
+    for r, mats in enumerate(sig):
+        for i, (log_n, _shift, w, zis) in enumerate(mats):
+            log_h = log_n + LOG_BLOWUP
+            for pi, zi in enumerate(zis):
+                groups.setdefault((log_h, zi), []).append((r, i, pi, w))
+    counters: Dict[tuple, int] = {}
+    plan = []  # (log_h, zi, members, c0, w_total)
+    for (log_h, zi), members in groups.items():
+        w_total = sum(w for _r, _i, _pi, w in members)
+        c0 = counters.get((log_h, zi), 0)
+        plan.append((log_h, zi, tuple(members), c0, w_total))
+        counters[(log_h, zi)] = c0 + w_total
+    heights = sorted({log_h for log_h, _zi, _m, _c, _w in plan})
+
+    def impl(ldes, alpha_pows, s_vals, zs, pts):
+        # alpha_pows: (A, 4) canonical; s_vals[g]: (4,) canonical;
+        # zs[zi]: (4,) canonical; pts[log_h]: (h,) canonical domain points.
+        ro = {log_h: xe.ezeros((1 << log_h,)) for log_h in heights}
+        inv_cache = {}
+        for g, (log_h, zi, members, c0, w_total) in enumerate(plan):
+            key = (log_h, zi)
+            if key not in inv_cache:
+                xm = xf.to_monty(pts[log_h])
+                z_dev = xe.from_array(xf.to_monty(zs[zi]))
+                xz = xe.esub(
+                    xe.from_base(xm),
+                    tuple(jnp.broadcast_to(z_dev[t], xm.shape) for t in range(4)),
+                )
+                inv_cache[key] = xe.einv(xz)
+            cat = jnp.concatenate(
+                [ldes[(r, i)] for r, i, _pi, _w in members], axis=1
+            )
+            ap = jax.lax.dynamic_slice_in_dim(alpha_pows, c0, w_total)
+            ro[log_h] = _ro_accum_traced(
+                ro[log_h], cat, ap, s_vals[g], inv_cache[key]
+            )
+        return {log_h: xe.to_array(v) for log_h, v in ro.items()}
+
+    return plan, jax.jit(impl)
+
+
+def _open_sig(rounds, zmap: Dict[tuple, int]) -> tuple:
+    sig = []
+    for data, points_per_mat in rounds:
+        mats = []
+        for domain, coeffs, pts in zip(data.domains, data.coeffs, points_per_mat):
+            zis = tuple(zmap.setdefault(z, len(zmap)) for z in pts)
+            mats.append((domain.log_n, domain.shift, int(coeffs.shape[1]), zis))
+        sig.append(tuple(mats))
+    return tuple(sig)
+
+
 def pcs_open(
     rounds: Sequence[Tuple[PcsProverData, List[List[tuple]]]],
     challenger: DuplexChallenger,
@@ -177,41 +328,37 @@ def pcs_open(
     Returns (opened_values, PcsProof); opened_values[r][i][p] = list of EF
     tuples per column.
     """
-    # 1. Evaluate all openings from coefficients.  Matrices sharing
-    # (height, shift, point) are evaluated in one fused kernel (concatenated
-    # columns) to keep the number of compiled shapes small.
     from ..utils.transfer import fetch_all
+
+    # 1. Evaluate all openings from coefficients: ONE fused program.
+    zmap: Dict[tuple, int] = {}
+    sig = _open_sig(rounds, zmap)
+    z_by_index = {zi: z for z, zi in zmap.items()}
+    group_list, eval_fn = _open_eval_program(sig)
+
+    coeff_args = {
+        (r, i): data.coeffs[i]
+        for r, (data, _pts) in enumerate(rounds)
+        for i in range(len(data.coeffs))
+    }
+    zpow_args: Dict[tuple, tuple] = {}
+    for (log_n, shift, zi), _members in group_list:
+        # intt over a shifted domain yields coefficients of q(shift*y):
+        # evaluate the real polynomial q at z via q~(z / shift).
+        zs = efh.mul_base(z_by_index[zi], pow(shift, P - 2, P))
+        zpow_args[(zi, shift, log_n)] = _zeta_power_tables(zs, 1 << log_n)
+    eval_pieces = eval_fn(coeff_args, zpow_args)
 
     opened_values = [
         [[None] * len(pts) for pts in points_per_mat] for _, points_per_mat in rounds
     ]
-    zpow_cache: Dict[Tuple[tuple, int], jnp.ndarray] = {}
-    eval_pieces: List[jnp.ndarray] = []
-    eval_plan: List[Tuple[int, list]] = []
-    for r, (data, points_per_mat) in enumerate(rounds):
-        groups: Dict[tuple, list] = {}
-        for i, (domain, coeffs, pts) in enumerate(
-            zip(data.domains, data.coeffs, points_per_mat)
-        ):
-            for pi, z in enumerate(pts):
-                groups.setdefault((domain.log_n, domain.shift, z), []).append((i, pi))
-        for (log_n, shift, z), members in groups.items():
-            # intt over a shifted domain yields coefficients of q(shift*y):
-            # evaluate the real polynomial q at z via q~(z / shift).
-            zs = efh.mul_base(z, pow(shift, P - 2, P))
-            n = 1 << log_n
-            key = (zs, n)
-            if key not in zpow_cache:
-                zpow_cache[key] = _zeta_powers(zs, n)
-            cat = jnp.concatenate([data.coeffs[i] for i, _ in members], axis=1)
-            eval_pieces.append(_eval_matrix_at_point_dev(cat, zpow_cache[key]))
-            eval_plan.append((r, members))
     # ONE blocking transfer for every opened value in every round.
-    for ys, (r, members) in zip(fetch_all(eval_pieces), eval_plan):
-        data = rounds[r][0]
+    for ys, ((_log_n, _shift, _zi), members) in zip(
+        fetch_all(list(eval_pieces)), group_list
+    ):
         off = 0
-        for i, pi in members:
-            w = data.coeffs[i].shape[1]
+        for r, i, pi in members:
+            w = rounds[r][0].coeffs[i].shape[1]
             opened_values[r][i][pi] = [
                 tuple(int(x) for x in y) for y in ys[off : off + w]
             ]
@@ -225,50 +372,41 @@ def pcs_open(
                     challenger.observe_slice(list(y))
     alpha = challenger.sample_ext()
 
-    # 3. Build per-height reduced openings on device.
-    max_alpha_pows = 0
-    for (data, points_per_mat), round_vals in zip(rounds, opened_values):
-        for lde, pts in zip(data.ldes, points_per_mat):
-            max_alpha_pows = max(max_alpha_pows, lde.shape[1] * len(pts) * 2)
+    # 3. Build per-height reduced openings: ONE fused program.
     alpha_pows_host = _ef_powers_host(alpha, _total_alpha_budget(rounds))
+    ro_plan, ro_fn = _ro_program(sig)
 
-    # Alpha-power counters are per (height, point): quotients at DIFFERENT
-    # points have distinct poles, so their contributions cannot cancel even
-    # with shared alpha powers; columns at the SAME point always get distinct
-    # consecutive powers.  Matrices sharing (height, point) within a round are
-    # reduced in one fused kernel over concatenated columns.
-    ro: Dict[int, jnp.ndarray] = {}
-    counters: Dict[Tuple[int, tuple], int] = {}
-    inv_cache: Dict[Tuple[tuple, int], jnp.ndarray] = {}
-    for (data, points_per_mat), round_vals in zip(rounds, opened_values):
-        groups: Dict[tuple, list] = {}
-        for i, (lde, pts) in enumerate(zip(data.ldes, points_per_mat)):
-            log_h = lde.shape[0].bit_length() - 1
-            for pi, z in enumerate(pts):
-                groups.setdefault((log_h, z), []).append((i, pi))
-        for (log_h, z), members in groups.items():
-            h = 1 << log_h
-            if log_h not in ro:
-                ro[log_h] = xe.ezeros((h,))
-            key = (z, log_h)
-            if key not in inv_cache:
-                inv_cache[key] = _inv_x_minus_z(log_h, z)
-            cat = jnp.concatenate([data.ldes[i] for i, _ in members], axis=1)
-            ys_cat = [y for i, pi in members for y in round_vals[i][pi]]
-            c0 = counters.get((log_h, z), 0)
-            w = cat.shape[1]
-            s = efh.ZERO
-            for k in range(w):
-                s = efh.add(s, efh.mul(alpha_pows_host[c0 + k], ys_cat[k]))
-            ap = np.array(alpha_pows_host[c0 : c0 + w], np.uint32)  # (w,4)
-            ro[log_h] = _ro_accum(
-                ro[log_h],
-                cat,
-                jnp.asarray(ap),
-                jnp.asarray(np.array(s, np.uint32)),
-                inv_cache[key],
-            )
-            counters[(log_h, z)] = c0 + w
+    s_vals = []
+    for log_h, zi, members, c0, _w_total in ro_plan:
+        s = efh.ZERO
+        k = c0
+        for r, i, pi, _w in members:
+            for y in opened_values[r][i][pi]:
+                s = efh.add(s, efh.mul(alpha_pows_host[k], y))
+                k += 1
+        s_vals.append(np.array(s, np.uint32))
+    lde_args = {
+        (r, i): data.ldes[i]
+        for r, (data, _pts) in enumerate(rounds)
+        for i in range(len(data.ldes))
+    }
+    n_alpha = max(c0 + w for _lh, _zi, _m, c0, w in ro_plan) if ro_plan else 1
+    pts_args = {
+        log_h: jnp.asarray(_lde_points_host(log_h))
+        for log_h in sorted({lh for lh, _zi, _m, _c, _w in ro_plan})
+    }
+    zs_args = {
+        zi: jnp.asarray(np.array(z_by_index[zi], np.uint32))
+        for _lh, zi, _m, _c, _w in ro_plan
+    }
+    ro_arrays = ro_fn(
+        lde_args,
+        jnp.asarray(np.array(alpha_pows_host[:n_alpha], np.uint32)),
+        [jnp.asarray(s) for s in s_vals],
+        zs_args,
+        pts_args,
+    )
+    ro: Dict[int, tuple] = {log_h: xe.from_array(v) for log_h, v in ro_arrays.items()}
 
     # 4. FRI.
     fri_proof, indices = fri_prove(ro, challenger, LOG_BLOWUP, num_queries, pow_bits)
@@ -331,9 +469,8 @@ def _lde_points_host(log_h: int) -> np.ndarray:
     return Domain(log_h, GENERATOR).points_host()
 
 
-@jax.jit
-def _ro_accum(ro, lde, alpha_pows_canon, s_canon, inv_xz):
-    """ro += (sum_k alpha^k f_k(x) - S) / (x - z), one fused program.
+def _ro_accum_traced(ro, lde, alpha_pows_canon, s_canon, inv_xz):
+    """ro += (sum_k alpha^k f_k(x) - S) / (x - z), traced inline.
 
     ro/inv_xz: EF plane tuples of (h,); alpha_pows_canon (w,4); s_canon (4,).
     The alpha-weighted column fold is 4 whole-matrix mod-p multiplies plus a
@@ -357,22 +494,6 @@ def _fsum_cols(x):
         x = xf.fadd(x[..., 0::2], x[..., 1::2])
         n = x.shape[-1]
     return x[..., 0]
-
-
-@partial(jax.jit, static_argnames=("log_h",))
-def _inv_x_minus_z_dev(z_canon, log_h: int):
-    x = _lde_points_host(log_h)
-    xm = xf.to_monty(jnp.asarray(x))
-    z_dev = xe.from_array(xf.to_monty(z_canon))
-    xz = xe.esub(
-        xe.from_base(xm), tuple(jnp.broadcast_to(z_dev[t], (len(x),)) for t in range(4))
-    )
-    return xe.einv(xz)
-
-
-def _inv_x_minus_z(log_h: int, z: tuple) -> jnp.ndarray:
-    """1/(x - z) for all x in GENERATOR*H_h, natural order, Monty (h,4)."""
-    return _inv_x_minus_z_dev(jnp.asarray(np.array(z, np.uint32)), log_h)
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,10 @@ def _interactions(chip: Chip):
 
 
 _PERM_JITS = {}
+_PHI_JITS = {}
+_CHIP_BY_KEY = {}
+
+CHUNK_P = 1 << 12  # rows per scan step; all heights <= this share one compile
 
 
 def host_beta_pows(chip: Chip, beta_host) -> "np.ndarray":
@@ -70,38 +74,14 @@ def host_beta_pows(chip: Chip, beta_host) -> "np.ndarray":
     return np.array(pows, np.uint32)
 
 
-def generate_permutation_trace(chip: Chip, prep, main, alpha, beta_host):
-    """Jit-dispatched wrapper; one compiled program per (chip, shapes).
+def _entries_chunk(chip: Chip, prep, main, alpha, bp):
+    """Batched LogUp entries for one row chunk.
 
-    alpha: (4,) Monty device array; beta_host: exact host EF4 tuple.
-    """
-    bpows = jnp.asarray(host_beta_pows(chip, beta_host))
-    key = (id(chip), prep is None)
-    if key not in _PERM_JITS:
-        if prep is None:
-            _PERM_JITS[key] = jax.jit(
-                lambda m, a, bp: _generate_permutation_trace(chip, None, m, a, bp)
-            )
-        else:
-            _PERM_JITS[key] = jax.jit(
-                lambda p, m, a, bp: _generate_permutation_trace(chip, p, m, a, bp)
-            )
-    fn = _PERM_JITS[key]
-    return fn(main, alpha, bpows) if prep is None else fn(prep, main, alpha, bpows)
-
-
-def _generate_permutation_trace(
-    chip: Chip,
-    prep,  # (N, PW) Monty or None
-    main,  # (N, W) Monty
-    alpha,  # (4,) Monty EF
-    beta_pows_canon,  # (max_vals+1, 4) canonical host beta powers
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (perm_trace (N, PW, 4) Monty, cumulative_sum (4,) Monty).
-
-    Internally everything is EF4 plane tuples; the interaction denominators
-    are stacked along a new axis and inverted with ONE vectorized einv (a
-    Fermat ladder on the whole stack) instead of a sequential product chain.
+    prep: (C, PW) or None; main: (C, W); alpha: (4,) Monty; bp: (V+1, 4)
+    Monty beta powers.  Returns (entries (C, NB, 4), row_sum (C, 4)) Monty.
+    The interaction denominators are stacked along a new axis and inverted
+    with ONE vectorized einv (a Fermat ladder on the whole stack) instead of
+    I sequential ladders.
     """
     inter = _interactions(chip)
     batch = chip.logup_batch_size
@@ -110,55 +90,98 @@ def _generate_permutation_trace(
     n_inter = len(inter)
 
     alpha_p = xe.from_array(alpha)
-    bp = xf.to_monty(beta_pows_canon)
     beta_pows = [tuple(bp[j, k] for k in range(4)) for j in range(bp.shape[0])]
 
-    # Denominators per interaction, gathered into (N, I) planes.
     denom_cols = [[] for _ in range(4)]
     mult_cols = []
     for lk, is_send in inter:
         d = tuple(jnp.broadcast_to(alpha_p[k], (n,)) for k in range(4))
         d = xe.eadd_base(d, jnp.full((n,), xf.monty_of(lk.argument_index), jnp.uint32))
         for j, aff in enumerate(lk.values):
-            val = _affine_device(aff, prep, main)  # (N,)
+            val = _affine_device(aff, prep, main)  # (C,)
             d = xe.eadd(d, xe.emul_base(beta_pows[j + 1], val))
         for k in range(4):
             denom_cols[k].append(d[k])
         m = _affine_device(lk.multiplicity, prep, main)
         mult_cols.append(m if is_send else xf.fneg(m))
 
-    denoms = tuple(jnp.stack(denom_cols[k], axis=1) for k in range(4))  # (N, I) x4
-    mults = jnp.stack(mult_cols, axis=1)  # (N, I)
+    denoms = tuple(jnp.stack(denom_cols[k], axis=1) for k in range(4))  # (C, I) x4
+    mults = jnp.stack(mult_cols, axis=1)  # (C, I)
 
-    invs = xe.einv(denoms)  # vectorized over (N, I)
-    terms = xe.emul_base(invs, mults)  # (N, I) planes
+    invs = xe.einv(denoms)  # vectorized over (C, I)
+    terms = xe.emul_base(invs, mults)  # (C, I) planes
 
-    # Batched entries: pad I to a multiple of batch, sum inside each batch.
     pad = num_batches * batch - n_inter
     if pad:
         terms = tuple(jnp.pad(t, ((0, 0), (0, pad))) for t in terms)
     entries = tuple(
         t.reshape(n, num_batches, batch).transpose(0, 2, 1) for t in terms
     )
-    # fold the batch axis with exact mod adds
     ent = tuple(e[:, 0, :] for e in entries)
     for b in range(1, batch):
         ent = tuple(xf.fadd(x, e[:, b, :]) for x, e in zip(ent, entries))
-    # ent: (N, num_batches) planes
-
+    # ent: (C, NB) planes
     row_sum = tuple(e[:, 0] for e in ent)
     for bi in range(1, num_batches):
         row_sum = tuple(xf.fadd(x, e[:, bi]) for x, e in zip(row_sum, ent))
-    phi = tuple(jax.lax.associative_scan(xf.fadd, rs, axis=0) for rs in row_sum)
+    return (
+        jnp.stack(list(ent), axis=-1),  # (C, NB, 4)
+        jnp.stack(list(row_sum), axis=-1),  # (C, 4)
+    )
 
-    # Assemble (N, num_batches + 1, 4) storage array.
-    cols = []
-    for bi in range(num_batches):
-        cols.append(jnp.stack([e[:, bi] for e in ent], axis=-1))  # (N, 4)
-    cols.append(jnp.stack(list(phi), axis=-1))
-    perm = jnp.stack(cols, axis=1)
-    csum = jnp.stack([p[-1] for p in phi], axis=-1)  # (4,)
-    return perm, csum
+
+def generate_permutation_trace(chip: Chip, prep, main, alpha, beta_host):
+    """Chunk-scanned LogUp trace: the entry graph compiles once per
+    (chip, chunk-count); the running-sum scan is a tiny per-(N, NB) program
+    SHARED across chips.
+
+    alpha: (4,) Monty device array; beta_host: exact host EF4 tuple.
+    Returns (perm_trace (N, NB+1, 4) Monty, cumulative_sum (4,) Monty).
+    """
+    bpows = xf.to_monty(jnp.asarray(host_beta_pows(chip, beta_host)))
+    n = main.shape[0]
+    pad = (-n) % CHUNK_P
+    n_chunks = (n + pad) // CHUNK_P
+
+    def chunked(x):
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        return x.reshape((n_chunks, CHUNK_P) + x.shape[1:])
+
+    _CHIP_BY_KEY[id(chip)] = chip
+    key = (id(chip), n_chunks, prep is None)
+    if key not in _PERM_JITS:
+
+        def impl(chunks, alpha_arg, bp):
+            def body(_, xs):
+                ent, rs = _entries_chunk(
+                    _CHIP_BY_KEY[key[0]], xs.get("prep"), xs["main"], alpha_arg, bp
+                )
+                return None, (ent, rs)
+
+            _, (ents, rss) = jax.lax.scan(body, None, chunks)
+            return ents.reshape(-1, *ents.shape[2:]), rss.reshape(-1, 4)
+
+        _PERM_JITS[key] = jax.jit(impl)
+
+    chunks = {"main": chunked(main)}
+    if prep is not None:
+        chunks["prep"] = chunked(prep)
+    entries, row_sum = _PERM_JITS[key](chunks, alpha, bpows)
+
+    nb = entries.shape[1]
+    pkey = (n, nb)
+    if pkey not in _PHI_JITS:
+
+        def phi_impl(ents, rss):
+            ents = ents[:n]
+            rss = rss[:n]
+            phi = jax.lax.associative_scan(xf.fadd, rss, axis=0)  # (N, 4)
+            perm = jnp.concatenate([ents, phi[:, None, :]], axis=1)
+            return perm, phi[-1]
+
+        _PHI_JITS[pkey] = jax.jit(phi_impl)
+    return _PHI_JITS[pkey](entries, row_sum)
 
 
 def eval_permutation_constraints(chip: Chip, b) -> None:

@@ -5,18 +5,25 @@ permutation) over every coset point with the alpha-Horner folding of
 folder.rs:68-72, multiply by the inverse zeroifier, and return the EF4
 quotient evaluations.  Where the reference walks PackedVal SIMD lanes, here
 the whole coset is one batched builder evaluation - each constraint is a fused
-element-wise expression over (coset_size,) arrays.
+element-wise expression over row-chunk arrays.
 
 Folding strategy (TPU + compile-time shaped): the alpha-power weights
 alpha^{K-1-j} are exact host EF4 scalars (alpha is a host transcript sample),
-and the K constraint payloads are STACKED into (K, Nq) planes and folded with
-ONE weighted mod-p contraction - instead of K per-constraint EF multiplies,
-which made the traced graph (and XLA compile time) scale linearly with the
-constraint count.  The constraint count / ext-flag schedule is discovered once
-per chip with an exact host-scalar dry run of the same builder code.
+and the K constraint payloads are STACKED into (K, rows) planes and folded
+with ONE weighted mod-p contraction - instead of K per-constraint EF
+multiplies, which made the traced graph (and XLA compile time) scale linearly
+with the constraint count.
+
+Compile discipline: the coset is processed in fixed CHUNK_Q-row chunks under
+`lax.scan`, so the (large) constraint graph is traced/compiled ONCE per chip
+per chunk-count - every trace height <= CHUNK_Q shares a single compiled
+program, and selectors/next-row copies stream in as scan inputs instead of
+being embedded as multi-MB HLO constants.
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +37,7 @@ from .chip import Chip
 from .domains import Domain, selectors_on_coset
 from .permutation import eval_permutation_constraints
 
+CHUNK_Q = 1 << 14  # rows per scan step; all heights <= this share one compile
 
 _QUOTIENT_JITS = {}
 _CONSTRAINT_FLAGS = {}
@@ -68,15 +76,149 @@ def constraint_ext_flags(chip: Chip):
     return _CONSTRAINT_FLAGS[key]
 
 
+def _fsum_axis0(x):
+    """Exact mod-p sum over axis 0 by pairwise tree reduction."""
+    n = x.shape[0]
+    while n > 1:
+        if n % 2 == 1:
+            x = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+            n += 1
+        x = xf.fadd(x[0::2], x[1::2])
+        n = x.shape[0]
+    return x[0]
+
+
+def _quotient_chunk(
+    chip: Chip,
+    sels,  # dict of (C,) Monty selector chunks
+    prep,  # (C, PW) / None
+    prep_next,
+    main,  # (C, W)
+    main_next,
+    perm,  # (C, PWperm*4)
+    perm_next,
+    alpha_m,  # (4,) Monty LogUp alpha challenge
+    bp,  # (max_vals+1, 4) Monty beta powers
+    base_w,  # (Kb, 4) Monty alpha powers for base constraints
+    ext_w,  # (Ke, 4) Monty alpha powers for ext constraints
+    cumulative_sum,  # (4,) Monty EF
+):
+    """(C, 4) Monty EF4 quotient evals for one row chunk."""
+    c_rows = main.shape[0]
+    be = JnpBackend
+    perm_w = perm.shape[1] // 4
+
+    def perm_planes(mat, i):
+        return tuple(mat[:, 4 * i + k] for k in range(4))
+
+    collected = []
+    b = NumericBuilder(
+        backend=be,
+        main_local=lambda i: V(be, main[:, i]),
+        main_next=lambda i: V(be, main_next[:, i]),
+        prep_local=(lambda i: V(be, prep[:, i])) if prep is not None else None,
+        prep_next=(lambda i: V(be, prep_next[:, i])) if prep_next is not None else None,
+        is_first_row=V(be, sels["is_first_row"]),
+        is_last_row=V(be, sels["is_last_row"]),
+        is_transition=V(be, sels["is_transition"]),
+        on_constraint=lambda v: collected.append((v.p, v.ext)),
+        perm_local=[V(be, perm_planes(perm, i), True) for i in range(perm_w)],
+        perm_next=[V(be, perm_planes(perm_next, i), True) for i in range(perm_w)],
+        perm_challenges=[
+            V(be, tuple(alpha_m[k] for k in range(4)), True),
+            V(be, tuple(bp[1, k] for k in range(4)), True),
+        ],
+        cumulative_sum=V(be, xe.from_array(cumulative_sum), True),
+    )
+    b.perm_beta_pows = [
+        V(be, tuple(bp[j, k] for k in range(4)), True) for j in range(bp.shape[0])
+    ]
+    chip.eval(b)
+    eval_permutation_constraints(chip, b)
+
+    assert len(collected) == base_w.shape[0] + ext_w.shape[0]
+
+    # Stack payloads and fold with the host-computed alpha powers:
+    #   acc = sum_j alpha^{K-1-j} c_j   (== the Horner fold of folder.rs).
+    base_payloads = [
+        jnp.broadcast_to(p, (c_rows,)) for (p, ext) in collected if not ext
+    ]
+    ext_payloads = [
+        tuple(jnp.broadcast_to(pl, (c_rows,)) for pl in p)
+        for (p, ext) in collected
+        if ext
+    ]
+    acc = xe.ezeros((c_rows,))
+    if base_payloads:
+        bstack = jnp.stack(base_payloads)  # (Kb, C)
+        acc = xe.eadd(
+            acc,
+            tuple(
+                _fsum_axis0(xf.fmul(bstack, base_w[:, k][:, None])) for k in range(4)
+            ),
+        )
+    if ext_payloads:
+        estack = tuple(
+            jnp.stack([p[k] for p in ext_payloads]) for k in range(4)
+        )  # (Ke, C) x4
+        ewp = tuple(ext_w[:, k][:, None] for k in range(4))
+        prod = xe.emul(estack, ewp)  # (Ke, C) planes
+        acc = xe.eadd(acc, tuple(_fsum_axis0(pl) for pl in prod))
+
+    return jnp.stack(list(xe.emul_base(acc, sels["inv_zeroifier"])), axis=-1)
+
+
+@lru_cache(maxsize=None)
+def _quotient_program(chip_key, n_chunks: int, next_step: int, has_prep: bool):
+    """Scan program per (chip, chunk count): the constraint graph is traced
+    once as the scan body; selectors and rolled next-row copies stream in as
+    scan inputs."""
+    chip = _CHIP_BY_KEY[chip_key]
+
+    def impl(chunks, alpha_m, bp, base_w, ext_w, csum):
+        def body(_, xs):
+            sels = {
+                "is_first_row": xs["first"],
+                "is_last_row": xs["last"],
+                "is_transition": xs["trans"],
+                "inv_zeroifier": xs["invz"],
+            }
+            out = _quotient_chunk(
+                chip,
+                sels,
+                xs.get("prep"),
+                xs.get("prep_next"),
+                xs["main"],
+                xs["main_next"],
+                xs["perm"],
+                xs["perm_next"],
+                alpha_m,
+                bp,
+                base_w,
+                ext_w,
+                csum,
+            )
+            return None, out
+
+        _, outs = jax.lax.scan(body, None, chunks)
+        return outs.reshape(-1, 4)
+
+    return jax.jit(impl)
+
+
+_CHIP_BY_KEY = {}
+
+
 def quotient_values(
     chip, trace_domain, quotient_domain, prep_on_coset, main_on_coset,
     perm_on_coset, perm_challenges_host, alpha_host, cumulative_sum,
 ):
-    """Jit-dispatched wrapper; one compiled program per (chip, domains).
+    """Chunk-scanned quotient evaluation; one compiled program per
+    (chip, chunk-count) - every quotient height <= CHUNK_Q shares one.
 
     perm_challenges_host / alpha_host: exact host EF4 tuples (transcript
     samples); alpha's K powers and beta's value powers are computed host-side
-    and enter the device program as small constant matrices - scalar EF
+    and enter the device program as small argument matrices - scalar EF
     multiply chains never appear in the traced graph.
     """
     from .permutation import host_beta_pows
@@ -94,142 +236,45 @@ def quotient_values(
         [pows[k_total - 1 - j] for j, ext in enumerate(flags) if ext], np.uint32
     ).reshape(-1, 4)
 
-    alpha_ch = jnp.asarray(np.array(perm_challenges_host[0], np.uint32))
-    beta_pows = jnp.asarray(host_beta_pows(chip, perm_challenges_host[1]))
-
-    key = (id(chip), trace_domain, quotient_domain, prep_on_coset is None)
-    if key not in _QUOTIENT_JITS:
-        if prep_on_coset is None:
-            _QUOTIENT_JITS[key] = jax.jit(
-                lambda m, pm, ac, bp, bw, ew, cs: _quotient_values(
-                    chip, trace_domain, quotient_domain, None, m, pm, ac, bp, bw, ew, cs
-                )
-            )
-        else:
-            _QUOTIENT_JITS[key] = jax.jit(
-                lambda p, m, pm, ac, bp, bw, ew, cs: _quotient_values(
-                    chip, trace_domain, quotient_domain, p, m, pm, ac, bp, bw, ew, cs
-                )
-            )
-    fn = _QUOTIENT_JITS[key]
-    args = (
-        main_on_coset,
-        perm_on_coset,
-        alpha_ch,
-        beta_pows,
-        jnp.asarray(base_w),
-        jnp.asarray(ext_w),
-        cumulative_sum,
-    )
-    if prep_on_coset is None:
-        return fn(*args)
-    return fn(prep_on_coset, *args)
-
-
-def _fsum_axis0(x):
-    """Exact mod-p sum over axis 0 by pairwise tree reduction."""
-    n = x.shape[0]
-    while n > 1:
-        if n % 2 == 1:
-            x = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
-            n += 1
-        x = xf.fadd(x[0::2], x[1::2])
-        n = x.shape[0]
-    return x[0]
-
-
-def _quotient_values(
-    chip: Chip,
-    trace_domain: Domain,
-    quotient_domain: Domain,
-    prep_on_coset,  # (Nq, PW) Monty or None
-    main_on_coset,  # (Nq, W) Monty
-    perm_on_coset,  # (Nq, PWperm*4) Monty flattened base cols
-    alpha_ch,  # (4,) canonical LogUp alpha challenge
-    beta_pows_canon,  # (max_vals+1, 4) canonical beta powers
-    base_w,  # (Kb, 4) canonical alpha powers for base constraints
-    ext_w,  # (Ke, 4) canonical alpha powers for ext constraints
-    cumulative_sum,  # (4,) Monty EF device array
-):
-    """Returns (Nq, 4) Monty EF4 quotient evals in natural coset order."""
     nq = quotient_domain.size
     next_step = 1 << (quotient_domain.log_n - trace_domain.log_n)
-    sels = selectors_on_coset(
+    sels_np = selectors_on_coset(
         trace_domain.log_n, quotient_domain.log_n, quotient_domain.shift
     )
 
-    be = JnpBackend
-    main_next = jnp.roll(main_on_coset, -next_step, axis=0)
-    prep_next = (
-        jnp.roll(prep_on_coset, -next_step, axis=0) if prep_on_coset is not None else None
+    pad = (-nq) % CHUNK_Q
+    n_chunks = (nq + pad) // CHUNK_Q
+
+    def chunked(x):
+        if pad:
+            x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        return x.reshape((n_chunks, CHUNK_Q) + x.shape[1:])
+
+    chunks = {
+        "first": chunked(jnp.asarray(sels_np["is_first_row"])),
+        "last": chunked(jnp.asarray(sels_np["is_last_row"])),
+        "trans": chunked(jnp.asarray(sels_np["is_transition"])),
+        "invz": chunked(jnp.asarray(sels_np["inv_zeroifier"])),
+        "main": chunked(main_on_coset),
+        "main_next": chunked(jnp.roll(main_on_coset, -next_step, axis=0)),
+        "perm": chunked(perm_on_coset),
+        "perm_next": chunked(jnp.roll(perm_on_coset, -next_step, axis=0)),
+    }
+    if prep_on_coset is not None:
+        chunks["prep"] = chunked(prep_on_coset)
+        chunks["prep_next"] = chunked(jnp.roll(prep_on_coset, -next_step, axis=0))
+
+    _CHIP_BY_KEY[id(chip)] = chip
+    fn = _quotient_program(id(chip), n_chunks, next_step, prep_on_coset is not None)
+    qvals = fn(
+        chunks,
+        xf.to_monty(jnp.asarray(np.array(perm_challenges_host[0], np.uint32))),
+        xf.to_monty(jnp.asarray(host_beta_pows(chip, perm_challenges_host[1]))),
+        xf.to_monty(jnp.asarray(base_w)),
+        xf.to_monty(jnp.asarray(ext_w)),
+        jnp.asarray(cumulative_sum),
     )
-    perm_w = perm_on_coset.shape[1] // 4
-    perm_next_mat = jnp.roll(perm_on_coset, -next_step, axis=0)
-
-    def perm_planes(mat, i):
-        return tuple(mat[:, 4 * i + k] for k in range(4))
-
-    collected = []
-
-    def on_constraint(v: V):
-        collected.append((v.p, v.ext))
-
-    bp = xf.to_monty(beta_pows_canon)
-    alpha_m = xf.to_monty(alpha_ch)
-    b = NumericBuilder(
-        backend=be,
-        main_local=lambda i: V(be, main_on_coset[:, i]),
-        main_next=lambda i: V(be, main_next[:, i]),
-        prep_local=(lambda i: V(be, prep_on_coset[:, i])) if prep_on_coset is not None else None,
-        prep_next=(lambda i: V(be, prep_next[:, i])) if prep_next is not None else None,
-        is_first_row=V(be, sels["is_first_row"]),
-        is_last_row=V(be, sels["is_last_row"]),
-        is_transition=V(be, sels["is_transition"]),
-        on_constraint=on_constraint,
-        perm_local=[V(be, perm_planes(perm_on_coset, i), True) for i in range(perm_w)],
-        perm_next=[V(be, perm_planes(perm_next_mat, i), True) for i in range(perm_w)],
-        perm_challenges=[
-            V(be, tuple(alpha_m[k] for k in range(4)), True),
-            V(be, tuple(bp[1, k] for k in range(4)), True),
-        ],
-        cumulative_sum=V(be, xe.from_array(jnp.asarray(cumulative_sum)), True),
-    )
-    b.perm_beta_pows = [
-        V(be, tuple(bp[j, k] for k in range(4)), True) for j in range(bp.shape[0])
-    ]
-    chip.eval(b)
-    eval_permutation_constraints(chip, b)
-
-    assert len(collected) == base_w.shape[0] + ext_w.shape[0]
-
-    # Stack payloads and fold with the host-computed alpha powers:
-    #   acc = sum_j alpha^{K-1-j} c_j   (== the Horner fold of folder.rs).
-    base_payloads = [
-        jnp.broadcast_to(p, (nq,)) for (p, ext) in collected if not ext
-    ]
-    ext_payloads = [
-        tuple(jnp.broadcast_to(pl, (nq,)) for pl in p)
-        for (p, ext) in collected
-        if ext
-    ]
-    acc = xe.ezeros((nq,))
-    if base_payloads:
-        bstack = jnp.stack(base_payloads)  # (Kb, Nq)
-        bw = xf.to_monty(base_w)  # (Kb, 4)
-        acc = xe.eadd(
-            acc,
-            tuple(_fsum_axis0(xf.fmul(bstack, bw[:, k][:, None])) for k in range(4)),
-        )
-    if ext_payloads:
-        estack = tuple(
-            jnp.stack([p[k] for p in ext_payloads]) for k in range(4)
-        )  # (Ke, Nq) x4
-        ew = xf.to_monty(ext_w)
-        ewp = tuple(ew[:, k][:, None] for k in range(4))
-        prod = xe.emul(estack, ewp)  # (Ke, Nq) planes
-        acc = xe.eadd(acc, tuple(_fsum_axis0(pl) for pl in prod))
-
-    return jnp.stack(list(xe.emul_base(acc, sels["inv_zeroifier"])), axis=-1)
+    return qvals[:nq]
 
 
 def split_quotient_chunks(quotient_domain: Domain, qvals, n_chunks: int):

@@ -17,6 +17,18 @@ import os
 _done = False
 
 
+def enable_cpu_fast_field():
+    """On the CPU backend, enable x64 so field muls use native uint64.
+
+    Cuts traced-graph size (and XLA compile time, the dominant unit-test
+    cost) ~3x; see ops/field.py fmul.  No-op on TPU.
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+
 def enable_compilation_cache(path: str | None = None):
     global _done
     if _done:
