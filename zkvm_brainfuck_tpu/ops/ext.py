@@ -79,15 +79,46 @@ def _triple(x):
 
 
 def emul(a, b):
-    """Full EF4 product (schoolbook, 16 base muls; W=3 folds are adds)."""
+    """Full EF4 product mod (x^4 - 3).
+
+    On the TPU limb path a base mul is ~30 primitive ops while an add is 3,
+    so two-level Karatsuba (9 muls + ~33 adds) beats schoolbook (16 muls +
+    ~12 adds) on traced-graph size AND compute; with native-u64 muls (CPU
+    tests) schoolbook is smaller, so pick per backend.
+    """
     a0, a1, a2, a3 = a
     b0, b1, b2, b3 = b
     m = f.fmul
     add = f.fadd
-    c0 = add(m(a0, b0), _triple(add(add(m(a1, b3), m(a2, b2)), m(a3, b1))))
-    c1 = add(add(m(a0, b1), m(a1, b0)), _triple(add(m(a2, b3), m(a3, b2))))
-    c2 = add(add(m(a0, b2), add(m(a1, b1), m(a2, b0))), _triple(m(a3, b3)))
-    c3 = add(add(m(a0, b3), m(a1, b2)), add(m(a2, b1), m(a3, b0)))
+    if f._fast_u64():
+        c0 = add(m(a0, b0), _triple(add(add(m(a1, b3), m(a2, b2)), m(a3, b1))))
+        c1 = add(add(m(a0, b1), m(a1, b0)), _triple(add(m(a2, b3), m(a3, b2))))
+        c2 = add(add(m(a0, b2), add(m(a1, b1), m(a2, b0))), _triple(m(a3, b3)))
+        c3 = add(add(m(a0, b3), m(a1, b2)), add(m(a2, b1), m(a3, b0)))
+        return (c0, c1, c2, c3)
+    sub = f.fsub
+
+    def kara2(u0, u1, v0, v1):
+        """(u0 + u1 x)(v0 + v1 x) -> 3 coeffs, 3 muls."""
+        k0 = m(u0, v0)
+        k2 = m(u1, v1)
+        k1 = sub(sub(m(add(u0, u1), add(v0, v1)), k0), k2)
+        return k0, k1, k2
+
+    # P = P0 + P1 x^2, M0 = P0 Q0, M2 = P1 Q1, M1 = (P0+P1)(Q0+Q1) - M0 - M2
+    m00, m01, m02 = kara2(a0, a1, b0, b1)
+    m20, m21, m22 = kara2(a2, a3, b2, b3)
+    s0, s1 = add(a0, a2), add(a1, a3)
+    t0, t1 = add(b0, b2), add(b1, b3)
+    k0, k1, k2 = kara2(s0, s1, t0, t1)
+    m10 = sub(sub(k0, m00), m20)
+    m11 = sub(sub(k1, m01), m21)
+    m12 = sub(sub(k2, m02), m22)
+    # PQ = M0 + M1 x^2 + M2 x^4, with x^4 = 3.
+    c0 = add(m00, _triple(add(m12, m20)))
+    c1 = add(m01, _triple(m21))
+    c2 = add(add(m02, m10), _triple(m22))
+    c3 = m11
     return (c0, c1, c2, c3)
 
 

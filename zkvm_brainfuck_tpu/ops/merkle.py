@@ -330,6 +330,60 @@ def open_batch_device(tree: MerkleTree, indices: np.ndarray):
     return opened, proof
 
 
+@jax.jit
+def _open_many_dev(args):
+    """Gather opened rows + sibling paths for MANY trees in one program.
+
+    args: list per tree of {"mats": [...], "flat": arr, "rows": [idx arrays],
+    "sibs": (Q, L) flat indices}.  Returns the same structure with gathered
+    canonical values.  jit retraces per pytree structure (per prove shape).
+    """
+    out = []
+    for a in args:
+        rows = [
+            f.from_monty(m[r]) for m, r in zip(a["mats"], a["rows"])
+        ]
+        q, l = a["sibs"].shape
+        proofs = f.from_monty(a["flat"][a["sibs"].reshape(-1)]).reshape(q, l, 8)
+        out.append({"rows": rows, "proofs": proofs})
+    return out
+
+
+def open_many_device(trees: Sequence[MerkleTree], indices_list):
+    """Device-side openings for many trees in ONE compiled program.
+
+    indices_list[t]: (Q,) leaf indices for tree t.  Returns a list per tree
+    of (opened_rows per matrix, (Q, L, 8) sibling paths), all device arrays.
+    """
+    from . import ntt as nt
+
+    args = []
+    for tree, indices in zip(trees, indices_list):
+        indices = np.asarray(indices, np.int64)
+        plan = tree.plan
+        rows = []
+        for m in tree.matrices:
+            log_h = int(m.shape[0]).bit_length() - 1
+            r = indices >> (plan.log_max - log_h)
+            if tree.bitrev:
+                r = nt.bit_reversal_perm(log_h)[r]
+            rows.append(jnp.asarray(r))
+        if plan.log_max > 0:
+            sibs = sibling_flat_indices(plan, indices)
+        else:
+            sibs = np.zeros((len(indices), 0), np.int32)
+        args.append(
+            {
+                "mats": list(tree.matrices),
+                "flat": tree.flat,
+                "rows": rows,
+                "sibs": jnp.asarray(sibs),
+            }
+        )
+    out = _open_many_dev(args)
+    return [(o["rows"], o["proofs"]) for o in out]
+
+
 def open_batch(tree: MerkleTree, indices: np.ndarray):
     """Host-side opening (one blocking transfer); see open_batch_device."""
     from ..utils.transfer import fetch_all

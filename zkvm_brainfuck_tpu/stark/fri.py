@@ -46,24 +46,48 @@ def _half_xinv(log_h: int):
     return xf.np_to_monty(((pows * half) % P).astype(np.uint32))
 
 
-@jax.jit
-def fold_layer(v, beta_dev):
+def _fold_traced(v, beta_canon, half_xinv):
     """One FRI fold on a natural-order EF4 plane-tuple layer: h -> h/2."""
     h = v[0].shape[0]
-    log_h = h.bit_length() - 1
     u = tuple(x[: h // 2] for x in v)
     w = tuple(x[h // 2 :] for x in v)
     half = jnp.uint32(xf.monty_of(pow(2, P - 2, P)))
     s = xe.emul_base(xe.eadd(u, w), half)
-    d = xe.emul_base(xe.esub(u, w), jnp.asarray(_half_xinv(log_h)))
-    beta_p = xe.from_array(jnp.asarray(beta_dev))
+    d = xe.emul_base(xe.esub(u, w), half_xinv)
+    beta_p = xe.from_array(xf.to_monty(beta_canon))
     return xe.eadd(s, xe.emul(tuple(jnp.broadcast_to(b, (h // 2,)) for b in beta_p), d))
 
 
-def _commit_layer_matrix(v):
-    """Natural EF4 planes -> (h/2, 8) base matrix of bit-reversed (f(x), f(-x))."""
-    br = nt.bit_reverse_rows(xe.to_array(v))  # (h, 4)
-    return br.reshape(br.shape[0] // 2, 8)
+def _pair_commit_traced(v, rev):
+    """Pair+commit a natural-order layer: (h,) planes -> (mat, flat, root)."""
+    arr = xe.to_array(v)  # (h, 4)
+    mat = arr[rev].reshape(arr.shape[0] // 2, 8)  # bit-reversed (f(x), f(-x))
+    plan = mk.make_plan((mat.shape[0],))
+    digest = mk.sponge_rows_traced([mat])
+    flat = mk.build_tree_traced(plan, {mat.shape[0]: digest})
+    return mat, flat, mk.root_of(plan, flat)
+
+
+@lru_cache(maxsize=None)
+def _layer0_jit(log_h: int):
+    """First commit-phase program: pair+commit the top layer."""
+    return jax.jit(lambda v, rev: _pair_commit_traced(v, rev))
+
+
+@lru_cache(maxsize=None)
+def _fold_commit_jit(log_h: int, has_input: bool, commit_next: bool):
+    """Fused per-layer program: fold at log_h (+ inject the reduced-opening
+    input arriving at log_h-1), then pair+commit the folded layer."""
+
+    def impl(v, beta_canon, half_xinv, inp, rev_next):
+        folded = _fold_traced(v, beta_canon, half_xinv)
+        if has_input:
+            folded = xe.eadd(folded, inp)
+        if not commit_next:
+            return folded
+        return (folded,) + _pair_commit_traced(folded, rev_next)
+
+    return jax.jit(impl)
 
 
 @dataclass
@@ -83,6 +107,13 @@ def fri_prove(
     pow_bits: int,
 ):
     """Returns (FriProof, query_indices)."""
+    import logging
+    import time as _time
+
+    _log = logging.getLogger("zkbf.fri")
+    _t0 = _time.time()
+    from ..stark.pcs import _rev_dev  # device bit-reversal tables
+
     heights = sorted(inputs.keys(), reverse=True)
     log_max = heights[0]
     current = inputs[log_max]
@@ -90,39 +121,60 @@ def fri_prove(
     trees: List[mk.MerkleTree] = []
     roots: List[np.ndarray] = []
     betas: List[tuple] = []
-    while current[0].shape[0] > (1 << log_blowup):
-        mat = _commit_layer_matrix(current)
-        tree = mk.commit([mat])
+
+    log_h = log_max
+    mat, flat, root_dev = _layer0_jit(log_h)(current, _rev_dev(log_h))
+    while True:
+        tree = mk.MerkleTree(
+            matrices=[mat], plan=mk.make_plan((1 << (log_h - 1),)), flat=flat,
+            root=np.asarray(root_dev),
+        )
         trees.append(tree)
         roots.append(tree.root)
         challenger.observe_commitment([int(x) for x in tree.root])
         beta = challenger.sample_ext()
         betas.append(beta)
-        beta_dev = xf.to_monty(jnp.asarray(np.array(beta, np.uint32)))
-        current = fold_layer(current, beta_dev)
-        log_h = current[0].shape[0].bit_length() - 1
-        if log_h in inputs and (1 << log_h) < (1 << log_max):
-            current = xe.eadd(current, inputs[log_h])
+        has_input = (log_h - 1) in inputs and (log_h - 1) != log_max
+        commit_next = (log_h - 1) > log_blowup
+        fn = _fold_commit_jit(log_h, has_input, commit_next)
+        inp = inputs.get(log_h - 1) if has_input else xe.ezeros((1,))
+        out = fn(
+            current,
+            jnp.asarray(np.array(beta, np.uint32)),
+            jnp.asarray(_half_xinv(log_h)),
+            inp,
+            _rev_dev(log_h - 1),
+        )
+        log_h -= 1
+        if commit_next:
+            current, mat, flat, root_dev = out
+        else:
+            current = out
+            break
 
+    _log.debug("fri: commit phase (%d layers) in %.3fs", len(trees), _time.time() - _t0); _t0 = _time.time()
     final_host = np.asarray(xf.from_monty(xe.to_array(current)))
     final_poly = tuple(int(x) for x in final_host[0])
     for v in final_host:
         assert tuple(int(x) for x in v) == final_poly, "final layer not constant"
     for c in final_poly:
         challenger.observe(c)
+    _log.debug("fri: final poly in %.3fs", _time.time() - _t0); _t0 = _time.time()
     pow_witness = challenger.grind(pow_bits)
+    _log.debug("fri: grind in %.3fs", _time.time() - _t0); _t0 = _time.time()
     indices = [challenger.sample_bits(log_max) for _ in range(num_queries)]
 
-    # Commit-phase query openings: all gathers device-side, ONE transfer.
+    # Commit-phase query openings: all gathers in ONE program, one transfer.
     from ..utils.transfer import fetch_all
 
     idx = np.asarray(indices, np.int64)
+    opened = mk.open_many_device(
+        trees, [idx >> (l + 1) for l in range(len(trees))]
+    )
     pieces = []
-    for tree in trees:
-        rows_dev, paths_dev = mk.open_batch_device(tree, idx >> 1)
-        pieces.append(rows_dev[0])
-        pieces.append(paths_dev)
-        idx = idx >> 1
+    for rows, proofs in opened:
+        pieces.append(rows[0])
+        pieces.append(proofs)
     fetched = fetch_all(pieces)
     per_layer = [(fetched[2 * l], fetched[2 * l + 1]) for l in range(len(trees))]
     query_commit_openings = []

@@ -328,6 +328,11 @@ def pcs_open(
     Returns (opened_values, PcsProof); opened_values[r][i][p] = list of EF
     tuples per column.
     """
+    import logging
+    import time as _time
+
+    _log = logging.getLogger("zkbf.pcs")
+    _t0 = _time.time()
     from ..utils.transfer import fetch_all
 
     # 1. Evaluate all openings from coefficients: ONE fused program.
@@ -363,6 +368,8 @@ def pcs_open(
                 tuple(int(x) for x in y) for y in ys[off : off + w]
             ]
             off += w
+
+    _log.debug("open: eval values in %.3fs", _time.time() - _t0); _t0 = _time.time()
 
     # 2. Bind opened values, then sample the combination challenge.
     for round_vals in opened_values:
@@ -407,23 +414,28 @@ def pcs_open(
         pts_args,
     )
     ro: Dict[int, tuple] = {log_h: xe.from_array(v) for log_h, v in ro_arrays.items()}
+    _log.debug("open: reduced openings in %.3fs", _time.time() - _t0); _t0 = _time.time()
 
     # 4. FRI.
     fri_proof, indices = fri_prove(ro, challenger, LOG_BLOWUP, num_queries, pow_bits)
+    _log.debug("open: fri_prove in %.3fs", _time.time() - _t0); _t0 = _time.time()
 
-    # 5. Input-batch openings at the query indices: device gathers for all
-    # rounds, then ONE blocking transfer.
+    # 5. Input-batch openings at the query indices: ONE gather program for
+    # all rounds, then ONE blocking transfer.
     from ..utils.transfer import fetch_all
 
     log_global = max(ro.keys())
     idx = np.asarray(indices, np.int64)
+    opened_many = mk.open_many_device(
+        [data.tree for data, _pts in rounds],
+        [
+            idx >> (log_global - (data.tree.max_height.bit_length() - 1))
+            for data, _pts in rounds
+        ],
+    )
     pieces: List = []
     piece_plan: List[int] = []
-    for data, _pts in rounds:
-        log_batch = data.tree.max_height.bit_length() - 1
-        rows_dev, paths_dev = mk.open_batch_device(
-            data.tree, idx >> (log_global - log_batch)
-        )
+    for rows_dev, paths_dev in opened_many:
         pieces.extend(rows_dev)
         pieces.append(paths_dev)
         piece_plan.append(len(rows_dev))
@@ -445,6 +457,7 @@ def pcs_open(
             )
         query_input_openings.append(per_q)
 
+    _log.debug("open: query openings in %.3fs", _time.time() - _t0)
     return opened_values, PcsProof(fri=fri_proof, query_input_openings=query_input_openings)
 
 

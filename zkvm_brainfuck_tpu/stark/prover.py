@@ -284,6 +284,22 @@ class TpuProver:
         pk.observe_into(challenger)
         t0 = time.time()
         named_traces = self.generate_traces(record)
+
+        # Fire concurrent warm-up compiles for every downstream program (the
+        # transcript forces the PHASES serial; the COMPILES need not be).
+        from .warm import warm_prove_programs
+
+        named_sorted = sorted(named_traces, key=lambda t: (-t[1].shape[0], t[0]))
+        chips_sorted = self.machine.shard_chips_ordered(
+            {name: i for i, (name, _) in enumerate(named_sorted)}
+        )
+        warm_prove_programs(
+            pk,
+            chips_sorted,
+            [t.shape[0].bit_length() - 1 for _, t in named_sorted],
+            self.config,
+        )
+
         shard_data = self.commit(named_traces)
         proof = self.open(pk, shard_data, challenger)
         log.debug("prove_shard in %.3fs", time.time() - t0)
