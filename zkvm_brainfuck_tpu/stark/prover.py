@@ -48,6 +48,18 @@ def _ext_to_dev(ef: tuple) -> jnp.ndarray:
     return xf.to_monty(jnp.asarray(np.array(ef, np.uint32)))
 
 
+# When set (see __graft_entry__.dryrun_multichip / parallel.mesh), generated
+# traces are placed row-sharded over this jax.sharding.Mesh and the whole
+# pipeline runs SPMD - XLA propagates the sharding through commits, LogUp,
+# quotient, and FRI, inserting collectives over the mesh axis.
+SHARD_MESH = None
+
+
+def set_shard_mesh(mesh) -> None:
+    global SHARD_MESH
+    SHARD_MESH = mesh
+
+
 class TpuProver:
     """The hardware prover (reference CpuProver counterpart, prover.rs:162)."""
 
@@ -69,7 +81,19 @@ class TpuProver:
         for chip in self.machine.shard_chips(record):
             t0 = time.time()
             trace = chip.air.generate_trace(record, deps)
-            named.append((chip.name, xf.to_monty(trace)))
+            trace = xf.to_monty(trace)
+            if SHARD_MESH is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                n_dev = SHARD_MESH.devices.size
+                spec = (
+                    PartitionSpec("rows")
+                    if trace.shape[0] % n_dev == 0
+                    else PartitionSpec()
+                )
+                trace = jax.device_put(trace, NamedSharding(SHARD_MESH, spec))
+            named.append((chip.name, trace))
             log.debug("generated trace for chip %s in %.3fs", chip.name, time.time() - t0)
         return named
 
