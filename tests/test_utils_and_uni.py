@@ -73,3 +73,53 @@ def test_uni_stark_addsub_roundtrip():
     proof.main_local = bad
     with pytest.raises(VerificationFailure):
         uni_stark_verify(chip, proof, DuplexChallenger(), num_queries=8)
+
+
+def _branchy_record():
+    """A guest with many taken/untaken branches and pointer walks (the
+    reference tests Jump/MemoryInstrs standalone with random event lists:
+    jump/mod.rs:34-52, memory/instructions/mod.rs:21-37)."""
+    from zkvm_brainfuck_tpu.core.executor import execute_python
+    from zkvm_brainfuck_tpu.core.program import Program
+
+    # 40 outer iterations of an inner clear loop: hundreds of jump events
+    # (both directions) and > < pointer moves.
+    src = "+" * 40 + "[->+++[-]<]" + "." 
+    program = Program.from_source(src)
+    return execute_python(program, b"")
+
+
+def _uni_roundtrip(air_cls, record, tamper_col):
+    from zkvm_brainfuck_tpu.models.base import ByteDeps
+    from zkvm_brainfuck_tpu.stark.challenger import DuplexChallenger
+    from zkvm_brainfuck_tpu.stark.chip import Chip
+    from zkvm_brainfuck_tpu.stark.fri import VerificationFailure
+    from zkvm_brainfuck_tpu.stark.uni import uni_stark_prove, uni_stark_verify
+
+    chip = Chip(air_cls())
+    deps = ByteDeps()
+    chip.air.byte_dependencies(record, deps)
+    trace = np.asarray(chip.air.generate_trace(record, deps))
+    assert trace.shape[0] >= 16
+
+    proof = uni_stark_prove(chip, trace, DuplexChallenger(), num_queries=8)
+    uni_stark_verify(chip, proof, DuplexChallenger(), num_queries=8)
+
+    # mutated witness must fail
+    bad = np.array(trace, copy=True)
+    bad[0, tamper_col] = (int(bad[0, tamper_col]) + 1) % 0x7F000001
+    bad_proof = uni_stark_prove(chip, bad, DuplexChallenger(), num_queries=8)
+    with pytest.raises((VerificationFailure, AssertionError)):
+        uni_stark_verify(chip, bad_proof, DuplexChallenger(), num_queries=8)
+
+
+def test_uni_stark_jump_roundtrip():
+    from zkvm_brainfuck_tpu.models.jump import JumpChip
+
+    _uni_roundtrip(JumpChip, _branchy_record(), tamper_col=0)
+
+
+def test_uni_stark_memory_instrs_roundtrip():
+    from zkvm_brainfuck_tpu.models.memory_instr import MemoryInstructionsChip
+
+    _uni_roundtrip(MemoryInstructionsChip, _branchy_record(), tamper_col=2)  # mp limb -> breaks next_mp = mp+-1

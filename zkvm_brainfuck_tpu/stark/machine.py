@@ -138,10 +138,20 @@ class StarkMachine:
     # -- debug -------------------------------------------------------------
 
     def debug_constraints(self, program: Program, record: ExecutionRecord):
-        """Row-by-row constraint + lookup-balance replay (debug feature)."""
+        """Row-by-row constraint + lookup-balance replay (debug feature).
+
+        Mirrors machine.rs:288-387 + debug.rs:24-262: AIR constraints on the
+        real traces, THEN two sampled permutation challenges, real LogUp
+        permutation traces, the permutation constraints row-by-row, and the
+        global cumulative-sum-zero check.
+        """
         if os.environ.get("SKIP_CONSTRAINTS"):
             return
+        import jax.numpy as jnp
+
+        from ..ops import field as xf
         from .debug import check_constraints, debug_lookup_balance
+        from .permutation import generate_permutation_trace
 
         deps = self.generate_dependencies(record)
         triples = []
@@ -159,3 +169,36 @@ class StarkMachine:
                 f"lookup imbalance ({len(imbalance)} keys): "
                 f"{dict(list(imbalance.items())[:10])}"
             )
+
+        # Permutation replay: sample 2 challenges, build the real LogUp
+        # traces, re-check AIR + permutation constraints per row, and assert
+        # the cumulative sums cancel (machine.rs:331-387).
+        challenger = DuplexChallenger()
+        challenger.observe_slice(list(range(8)))
+        perm_challenges = [challenger.sample_ext(), challenger.sample_ext()]
+        alpha_dev = xf.to_monty(
+            jnp.asarray(np.array(perm_challenges[0], np.uint32))
+        )
+        from . import ef_host as efh
+
+        total = efh.ZERO
+        for chip, prep_np, main_np in triples:
+            prep_dev = (
+                xf.to_monty(jnp.asarray(prep_np))
+                if prep_np is not None and prep_np.shape[1] > 0
+                else None
+            )
+            main_dev = xf.to_monty(jnp.asarray(main_np))
+            perm, csum = generate_permutation_trace(
+                chip, prep_dev, main_dev, alpha_dev, perm_challenges[1]
+            )
+            perm_np = np.asarray(xf.from_monty(perm))  # (N, PW, 4) canonical
+            csum_host = tuple(int(x) for x in np.asarray(xf.from_monty(csum)))
+            fails = check_constraints(
+                chip, main_np, prep_np, perm_np, perm_challenges, csum_host
+            )
+            if fails:
+                raise AssertionError(f"permutation constraint failures: {fails}")
+            total = efh.add(total, csum_host)
+        if total != efh.ZERO:
+            raise AssertionError(f"cumulative sums do not cancel: {total}")
