@@ -111,3 +111,20 @@ def test_native_matches_python(src, inp):
         assert np.array_equal(getattr(a.cpu, fld), getattr(b.cpu, fld)), fld
     for fld in a.memory.__dataclass_fields__:
         assert np.array_equal(getattr(a.memory, fld), getattr(b.memory, fld)), fld
+
+
+def test_record_append():
+    # MachineRecord::append (reference record.rs:71-88): merging two records
+    # concatenates cycle columns, merges per-address memory first/last, and
+    # joins IO streams.
+    a = run("+.")
+    b = run(">+.")
+    n_a, n_b = len(a.cpu), len(b.cpu)
+    out = a.output_stream + b.output_stream
+    a.append(b)
+    assert len(a.cpu) == n_a + n_b
+    assert a.output_stream == out
+    # address 0 touched by record a only, address 1 by record b only
+    assert set(a.memory.addr.tolist()) == {0, 1}
+    i0 = list(a.memory.addr).index(0)
+    assert a.memory.initial_ts[i0] == 0 and a.memory.final_value[i0] == 1

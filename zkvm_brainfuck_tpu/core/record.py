@@ -94,6 +94,56 @@ class ExecutionRecord:
     def num_cycles(self) -> int:
         return len(self.cpu)
 
+    def append(self, other: "ExecutionRecord") -> None:
+        """Merge another record's events into this one (MachineRecord::append,
+        reference record.rs:71-88 / stark/src/record.rs:2-5).
+
+        Columnar concatenation per field; memory first/last entries are
+        reconciled per address (earliest initial access wins the initial
+        slot, latest final access wins the final slot), mirroring how the
+        reference merges per-address MemoryEvent maps.
+        """
+        self.cpu = CpuColumns(
+            **{
+                f: np.concatenate([getattr(self.cpu, f), getattr(other.cpu, f)])
+                for f in (
+                    "pc", "next_pc", "mp", "next_mp", "mv", "next_mv",
+                    "opcode", "op_a", "mv_accessed", "mv_prev_ts",
+                    "mv_prev_value", "next_mv_accessed", "next_mv_prev_ts",
+                )
+            }
+        )
+        if len(other.memory):
+            addr = np.concatenate([self.memory.addr, other.memory.addr])
+            ini_ts = np.concatenate([self.memory.initial_ts, other.memory.initial_ts])
+            ini_v = np.concatenate([self.memory.initial_value, other.memory.initial_value])
+            fin_ts = np.concatenate([self.memory.final_ts, other.memory.final_ts])
+            fin_v = np.concatenate([self.memory.final_value, other.memory.final_value])
+            uniq, inv = np.unique(addr, return_inverse=True)
+            n = len(uniq)
+            first = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(first, inv, ini_ts.astype(np.int64))
+            last = np.zeros(n, dtype=np.int64)
+            np.maximum.at(last, inv, fin_ts.astype(np.int64))
+            ini_v_out = np.zeros(n, dtype=np.uint32)
+            fin_v_out = np.zeros(n, dtype=np.uint32)
+            ini_v_out[inv[ini_ts.astype(np.int64) == first[inv]]] = ini_v[
+                ini_ts.astype(np.int64) == first[inv]
+            ]
+            fin_v_out[inv[fin_ts.astype(np.int64) == last[inv]]] = fin_v[
+                fin_ts.astype(np.int64) == last[inv]
+            ]
+            self.memory = MemoryFirstLast(
+                addr=uniq.astype(np.uint32),
+                initial_ts=first.astype(np.uint32),
+                initial_value=ini_v_out,
+                final_ts=last.astype(np.uint32),
+                final_value=fin_v_out,
+            )
+        self.input_stream = self.input_stream + other.input_stream
+        self.output_stream = self.output_stream + other.output_stream
+        self.global_clk += other.global_clk
+
     def opcode_counts(self) -> dict:
         from .isa import Opcode
 

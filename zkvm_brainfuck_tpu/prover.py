@@ -74,8 +74,19 @@ class BfProver:
         record = execute(program, stdin)
 
         challenger = self.config.challenger()
+        # ZKBF_PROFILE=<dir>: capture a jax.profiler trace of the whole prove
+        # (the TPU analogue of the reference's tracing spans, SURVEY §5.1;
+        # per-phase wall-times are logged by TpuProver regardless).
+        profile_dir = os.environ.get("ZKBF_PROFILE")
         t0 = time.time()
-        proof = self.core_prover.prove(pk.pk, record, challenger)
+        if profile_dir:
+            import jax
+
+            with jax.profiler.trace(profile_dir):
+                proof = self.core_prover.prove(pk.pk, record, challenger)
+            log.info("jax.profiler trace written to %s", profile_dir)
+        else:
+            proof = self.core_prover.prove(pk.pk, record, challenger)
         elapsed_ms = (time.time() - t0) * 1000
         nb_bytes = len(proof.to_bytes())
         log.info(
