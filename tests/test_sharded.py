@@ -40,3 +40,51 @@ def test_sharded_proof_matches_single_device():
     client.verify(sharded, vk)
 
     assert sharded.proof.proof.to_bytes() == single.proof.proof.to_bytes()
+
+
+def test_sharded_intermediates_stay_sharded():
+    # VERDICT r2 item 3: prove the sharding actually SHARDS - committed LDEs
+    # and Merkle buffers on the mesh must carry ~1/n of the data per device,
+    # not a silent GSPMD all-gather.  The Byte chip's preprocessed table
+    # (2^16 rows -> 2^17-row LDE) is the big intermediate at test scale.
+    import jax
+
+    from zkvm_brainfuck_tpu.core.executor import execute
+    from zkvm_brainfuck_tpu.core.program import Program
+    from zkvm_brainfuck_tpu.parallel.mesh import shard_fraction
+    from zkvm_brainfuck_tpu.prover import BfProver
+
+    assert len(jax.devices()) >= 8
+
+    guest = "+-" * 64 + "."
+    mesh = make_row_mesh(8)
+    stark_prover.set_shard_mesh(mesh)
+    try:
+        prover = BfProver()
+        pk, vk = prover.setup(guest)
+
+        # preprocessed (pk) data: Byte LDE has 2^17 rows over 8 devices
+        big_ldes = [l for l in pk.pk.data.ldes if l.shape[0] >= (1 << 14)]
+        assert big_ldes, "expected a big preprocessed LDE"
+        for lde in big_ldes:
+            frac = shard_fraction(lde)
+            assert frac <= 1.01 / 8, f"LDE replicated: {frac} of {lde.shape}"
+        # the Merkle flat buffer (leaves dominate) must be distributed too
+        frac = shard_fraction(pk.pk.data.tree.flat)
+        assert frac <= 0.30, f"Merkle flat buffer replicated: {frac}"
+
+        # main-trace commit: run the first prover phases directly
+        program = Program.from_source(guest)
+        record = execute(program, b"")
+        named = prover.core_prover.generate_traces(record)
+        for name, tr in named:
+            if tr.shape[0] >= 8:
+                frac = shard_fraction(tr)
+                assert frac <= 1.01 / 8, f"{name} trace replicated: {frac}"
+        shard_data = prover.core_prover.commit(named)
+        for lde in shard_data["data"].ldes:
+            if lde.shape[0] >= (1 << 14):
+                frac = shard_fraction(lde)
+                assert frac <= 1.01 / 8, f"main LDE replicated: {frac}"
+    finally:
+        stark_prover.set_shard_mesh(None)

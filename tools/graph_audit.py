@@ -2,8 +2,10 @@
 
 Python tracing + XLA compile cost scales with the number of primitive
 equations in each jitted program; this tool prints eqn counts for the main
-per-chip programs so graph-size regressions are visible without (noisy) wall
-timing.  Run: python tools/graph_audit.py
+per-chip scan-body programs (the LogUp entry builder and the quotient
+constraint evaluator - the graphs that dominate compile time) so graph-size
+regressions are visible without (noisy) wall timing.
+Run: python tools/graph_audit.py
 """
 
 import os
@@ -11,9 +13,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
@@ -24,11 +23,8 @@ import numpy as np
 
 from zkvm_brainfuck_tpu.models.machine_def import brainfuck_chips
 from zkvm_brainfuck_tpu.stark.chip import Chip
-from zkvm_brainfuck_tpu.ops import field as xf
-from zkvm_brainfuck_tpu.stark import ef_host as efh
-from zkvm_brainfuck_tpu.stark.domains import Domain
-from zkvm_brainfuck_tpu.stark.permutation import _generate_permutation_trace
-from zkvm_brainfuck_tpu.stark.quotient import _quotient_values, constraint_ext_flags
+from zkvm_brainfuck_tpu.stark.permutation import _entries_chunk, _interactions
+from zkvm_brainfuck_tpu.stark.quotient import _quotient_chunk, constraint_ext_flags
 
 
 def count_eqns(closed):
@@ -48,49 +44,54 @@ def count_eqns(closed):
     return n
 
 
-def main():
-    chips = [Chip(a) for a in brainfuck_chips()]
-
-    log_n = 4
-    n = 1 << log_n
-    total = 0
+def audit(chips=None, rows: int = 16):
+    """Returns {chip_name: (perm_eqns, quotient_eqns, n_constraints)}."""
+    chips = chips or [Chip(a) for a in brainfuck_chips()]
+    out = {}
+    n = rows
     for chip in chips:
         w = chip.width
         pw = chip.preprocessed_width
         main = jnp.zeros((n, w), jnp.uint32)
         prep = jnp.zeros((n, pw), jnp.uint32) if pw else None
         alpha = jnp.zeros((4,), jnp.uint32)
-        beta = jnp.zeros((4,), jnp.uint32)
-
-        max_vals = max(
-            len(lk.values) for lk in list(chip.sends) + list(chip.receives)
-        )
+        max_vals = max(len(lk.values) for lk, _ in _interactions(chip))
         bpows = jnp.zeros((max_vals + 1, 4), jnp.uint32)
-        perm_fn = lambda m, a, b: _generate_permutation_trace(chip, prep, m, a, b)
+
+        perm_fn = lambda m, a, b: _entries_chunk(chip, prep, m, a, b)
         perm_eqns = count_eqns(jax.make_jaxpr(perm_fn)(main, alpha, bpows))
 
-        td = Domain(log_n, 1)
-        qd = td.create_disjoint_domain(1 << (log_n + chip.log_quotient_degree))
-        nq = qd.size
         flags = constraint_ext_flags(chip)
         kb = sum(1 for f in flags if not f)
         ke = len(flags) - kb
-        main_lde = jnp.zeros((nq, w), jnp.uint32)
-        prep_lde = jnp.zeros((nq, pw), jnp.uint32) if pw else None
-        perm_lde = jnp.zeros((nq, chip.permutation_width * 4), jnp.uint32)
+        sels = {
+            k: jnp.zeros((n,), jnp.uint32)
+            for k in ("is_first_row", "is_last_row", "is_transition", "inv_zeroifier")
+        }
+        perm_mat = jnp.zeros((n, chip.permutation_width * 4), jnp.uint32)
         bw = jnp.zeros((kb, 4), jnp.uint32)
         ew = jnp.zeros((ke, 4), jnp.uint32)
         cs = jnp.zeros((4,), jnp.uint32)
-        q_fn = lambda m, pm, ch0, bp_, b_, e_, c_: _quotient_values(
-            chip, td, qd, prep_lde, m, pm, ch0, bp_, b_, e_, c_
-        )
+
+        def q_fn(m, pm, a, bp_, b_, e_, c_):
+            return _quotient_chunk(
+                chip, sels, prep, prep, m, m, pm, pm, a, bp_, b_, e_, c_
+            )
+
         q_eqns = count_eqns(
-            jax.make_jaxpr(q_fn)(main_lde, perm_lde, alpha, bpows, bw, ew, cs)
+            jax.make_jaxpr(q_fn)(main, perm_mat, alpha, bpows, bw, ew, cs)
         )
+        out[chip.name] = (perm_eqns, q_eqns, len(flags))
+    return out
+
+
+def main():
+    total = 0
+    for name, (perm_eqns, q_eqns, n_constraints) in audit().items():
         total += perm_eqns + q_eqns
         print(
-            f"{chip.name:<12} perm_eqns={perm_eqns:6d}  quotient_eqns={q_eqns:6d}  "
-            f"constraints={len(flags):3d} (base={kb}, ext={ke})"
+            f"{name:<12} perm_eqns={perm_eqns:6d}  quotient_eqns={q_eqns:6d}  "
+            f"constraints={n_constraints:3d}"
         )
     print(f"{'TOTAL':<12} {total}")
 

@@ -98,14 +98,45 @@ class ExecutionRecord:
         """Merge another record's events into this one (MachineRecord::append,
         reference record.rs:71-88 / stark/src/record.rs:2-5).
 
-        Columnar concatenation per field; memory first/last entries are
-        reconciled per address (earliest initial access wins the initial
-        slot, latest final access wins the final slot), mirroring how the
-        reference merges per-address MemoryEvent maps.
+        clk is implicit here (clk(i) = 2*i), so concatenating other's CPU
+        rows reassigns their clocks: every timestamp carried by `other`
+        (mv_prev_ts / next_mv_prev_ts / memory initial+final ts) is REBASED
+        by 2*len(self.cpu) first, preserving ts==0 "fresh address" semantics
+        (the reference's CpuEvent carries an explicit clk instead,
+        record.rs:72-88, so no rebasing is needed there).
+
+        Memory first/last entries are then reconciled per address: earliest
+        (rebased) initial access wins the initial slot, latest final access
+        wins the final slot; ties break deterministically in favor of self
+        (concat order), which matters only for the both-fresh (ts==0,
+        value==0) case.
+
+        Both records must execute the SAME program - the merged record
+        indexes self.program with other's pc values.
         """
+        assert (
+            self.program is other.program
+            or [
+                (int(i.opcode), i.op_a) for i in self.program.instructions
+            ]
+            == [(int(i.opcode), i.op_a) for i in other.program.instructions]
+        ), "append requires records of the same program"
+
+        clk_base = np.int64(2 * len(self.cpu))
+
+        def rebase(ts: np.ndarray) -> np.ndarray:
+            t = ts.astype(np.int64)
+            return np.where(t > 0, t + clk_base, 0).astype(np.uint32)
+
+        rebased = {
+            "mv_prev_ts": rebase(other.cpu.mv_prev_ts),
+            "next_mv_prev_ts": rebase(other.cpu.next_mv_prev_ts),
+        }
         self.cpu = CpuColumns(
             **{
-                f: np.concatenate([getattr(self.cpu, f), getattr(other.cpu, f)])
+                f: np.concatenate(
+                    [getattr(self.cpu, f), rebased.get(f, getattr(other.cpu, f))]
+                )
                 for f in (
                     "pc", "next_pc", "mp", "next_mp", "mv", "next_mv",
                     "opcode", "op_a", "mv_accessed", "mv_prev_ts",
@@ -115,30 +146,34 @@ class ExecutionRecord:
         )
         if len(other.memory):
             addr = np.concatenate([self.memory.addr, other.memory.addr])
-            ini_ts = np.concatenate([self.memory.initial_ts, other.memory.initial_ts])
+            ini_ts = np.concatenate(
+                [self.memory.initial_ts, rebase(other.memory.initial_ts)]
+            ).astype(np.int64)
             ini_v = np.concatenate([self.memory.initial_value, other.memory.initial_value])
-            fin_ts = np.concatenate([self.memory.final_ts, other.memory.final_ts])
+            fin_ts = np.concatenate(
+                [self.memory.final_ts, rebase(other.memory.final_ts)]
+            ).astype(np.int64)
             fin_v = np.concatenate([self.memory.final_value, other.memory.final_value])
+            idx = np.arange(len(addr), dtype=np.int64)
             uniq, inv = np.unique(addr, return_inverse=True)
-            n = len(uniq)
-            first = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-            np.minimum.at(first, inv, ini_ts.astype(np.int64))
-            last = np.zeros(n, dtype=np.int64)
-            np.maximum.at(last, inv, fin_ts.astype(np.int64))
-            ini_v_out = np.zeros(n, dtype=np.uint32)
-            fin_v_out = np.zeros(n, dtype=np.uint32)
-            ini_v_out[inv[ini_ts.astype(np.int64) == first[inv]]] = ini_v[
-                ini_ts.astype(np.int64) == first[inv]
-            ]
-            fin_v_out[inv[fin_ts.astype(np.int64) == last[inv]]] = fin_v[
-                fin_ts.astype(np.int64) == last[inv]
-            ]
+
+            def pick(keys_primary):
+                """Per address: index of the entry with the smallest
+                (primary, concat-order) key - concat order = self first."""
+                order = np.lexsort((idx, keys_primary))
+                groups, first_pos = np.unique(inv[order], return_index=True)
+                out = np.empty(len(uniq), dtype=np.int64)
+                out[groups] = order[first_pos]
+                return out
+
+            ini_pick = pick(ini_ts)
+            fin_pick = pick(-fin_ts)
             self.memory = MemoryFirstLast(
                 addr=uniq.astype(np.uint32),
-                initial_ts=first.astype(np.uint32),
-                initial_value=ini_v_out,
-                final_ts=last.astype(np.uint32),
-                final_value=fin_v_out,
+                initial_ts=ini_ts[ini_pick].astype(np.uint32),
+                initial_value=ini_v[ini_pick],
+                final_ts=fin_ts[fin_pick].astype(np.uint32),
+                final_value=fin_v[fin_pick],
             )
         self.input_stream = self.input_stream + other.input_stream
         self.output_stream = self.output_stream + other.output_stream

@@ -252,6 +252,8 @@ class MerkleTree:
 
 @lru_cache(maxsize=None)
 def _commit_jit(sig: tuple):
+    from ..utils.aot import jit_aot
+
     def impl(*mats):
         plan = make_plan(tuple(h for h, _ in sig))
         by_height: dict = {}
@@ -261,7 +263,7 @@ def _commit_jit(sig: tuple):
         flat = build_tree_traced(plan, digests)
         return flat, root_of(plan, flat)
 
-    return jax.jit(impl)
+    return jit_aot(("mk_commit", sig), impl)
 
 
 def commit(matrices: Sequence[jnp.ndarray]) -> MerkleTree:
@@ -330,13 +332,12 @@ def open_batch_device(tree: MerkleTree, indices: np.ndarray):
     return opened, proof
 
 
-@jax.jit
-def _open_many_dev(args):
+def _open_many_impl(args):
     """Gather opened rows + sibling paths for MANY trees in one program.
 
     args: list per tree of {"mats": [...], "flat": arr, "rows": [idx arrays],
     "sibs": (Q, L) flat indices}.  Returns the same structure with gathered
-    canonical values.  jit retraces per pytree structure (per prove shape).
+    canonical values.  One compiled program per shape signature.
     """
     out = []
     for a in args:
@@ -347,6 +348,13 @@ def _open_many_dev(args):
         proofs = f.from_monty(a["flat"][a["sibs"].reshape(-1)]).reshape(q, l, 8)
         out.append({"rows": rows, "proofs": proofs})
     return out
+
+
+@lru_cache(maxsize=None)
+def _open_many_program(sig: tuple):
+    from ..utils.aot import jit_aot
+
+    return jit_aot(("mk_open_many", sig), _open_many_impl)
 
 
 def open_many_device(trees: Sequence[MerkleTree], indices_list):
@@ -380,7 +388,16 @@ def open_many_device(trees: Sequence[MerkleTree], indices_list):
                 "sibs": jnp.asarray(sibs),
             }
         )
-    out = _open_many_dev(args)
+    sig = tuple(
+        (
+            tuple(tuple(int(d) for d in m.shape) for m in a["mats"]),
+            tuple(int(d) for d in a["flat"].shape),
+            tuple(tuple(int(d) for d in r.shape) for r in a["rows"]),
+            tuple(int(d) for d in a["sibs"].shape),
+        )
+        for a in args
+    )
+    out = _open_many_program(sig)(args)
     return [(o["rows"], o["proofs"]) for o in out]
 
 

@@ -62,6 +62,55 @@ def twiddle_blob(log_n: int, inverse: bool) -> np.ndarray:
     return np.concatenate(_twiddles(log_n, inverse))
 
 
+# ---------------------------------------------------------------------------
+# Device-side table generation.
+#
+# The big argument tables (twiddle blobs, bit-reversal permutations, power
+# series) used to be computed host-side and uploaded; on a tunneled TPU the
+# host<->device link is the scarcest resource (a 2^20-cycle prove needs
+# >100 MB of tables), so they are generated ON DEVICE from a few scalar
+# constants instead: a power series is log_n doubling steps (each one
+# whole-vector multiply), a bit-reversal is log_n shift/or passes over iota.
+# ---------------------------------------------------------------------------
+
+
+def powers_traced(base: int, log_n: int):
+    """(2^log_n,) Montgomery device array [1, b, b^2, ...]; b a host int."""
+    import jax.numpy as jnp
+
+    p = jnp.full((1,), f.R1, jnp.uint32)
+    for s in range(log_n):
+        scalar = f.monty_of(pow(base, 1 << s, P))
+        p = jnp.concatenate([p, f.fmul(p, jnp.uint32(scalar))])
+    return p
+
+
+def bitrev_traced(log_n: int):
+    """(2^log_n,) int32 bit-reversal permutation, built on device."""
+    import jax.numpy as jnp
+
+    idx = jnp.arange(1 << log_n, dtype=jnp.uint32)
+    rev = jnp.zeros_like(idx)
+    for b in range(log_n):
+        rev = rev | (((idx >> b) & 1) << (log_n - 1 - b))
+    return rev.astype(jnp.int32)
+
+
+def twiddle_blob_traced(log_n: int, inverse: bool):
+    """Device twiddle blob (same layout as `twiddle_blob`), no upload."""
+    import jax.numpy as jnp
+
+    if log_n == 0:
+        return jnp.zeros(1, jnp.uint32)
+    stages = []
+    for s in range(1, log_n + 1):
+        w = f.two_adic_root(s)
+        if inverse:
+            w = pow(w, (1 << s) - 1, P)
+        stages.append(powers_traced(w, s - 1))
+    return jnp.concatenate(stages)
+
+
 def ntt_traced(x, tw_blob, rev, log_n: int, inverse: bool):
     """Traceable NTT down axis 0 with twiddles/permutation as arguments.
 
@@ -94,7 +143,7 @@ def bit_reverse_rows(x):
     n = x.shape[0]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
-    return x[jnp.asarray(bit_reversal_perm(log_n))]
+    return x[bitrev_traced(log_n)]
 
 
 @partial(jax.jit, static_argnames=("inverse",))
@@ -104,7 +153,7 @@ def _ntt_jit(x, inverse: bool):
     orig_shape = x.shape
     x = x.reshape(n, -1)
     cols = x.shape[1]
-    x = x[jnp.asarray(bit_reversal_perm(log_n))]
+    x = x[bitrev_traced(log_n)]
     tws = _twiddles(log_n, inverse)
     for s in range(1, log_n + 1):
         m = 1 << s

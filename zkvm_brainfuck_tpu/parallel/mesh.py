@@ -31,3 +31,57 @@ def row_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# -- the active proving mesh -------------------------------------------------
+#
+# When set (see __graft_entry__.dryrun_multichip), generated traces are
+# placed row-sharded over this mesh and the whole pipeline runs SPMD - XLA
+# propagates the sharding through commits, LogUp, quotient, and FRI,
+# inserting collectives over the mesh axis.
+
+CURRENT_MESH: Optional[Mesh] = None
+
+
+def set_shard_mesh(mesh: Optional[Mesh]) -> None:
+    global CURRENT_MESH
+    CURRENT_MESH = mesh
+
+
+def current_mesh() -> Optional[Mesh]:
+    return CURRENT_MESH
+
+
+def place_rows(arr):
+    """Place `arr` row-sharded over the active mesh (no-op without one).
+
+    Power-of-two trace heights (min 16) always divide a power-of-two mesh
+    <= 16, so the replicated fallback only triggers for exotic meshes - and
+    logs, because silent replication is the classic GSPMD scaling failure.
+    """
+    mesh = CURRENT_MESH
+    if mesh is None:
+        return arr
+    n_dev = mesh.devices.size
+    if arr.shape[0] % n_dev == 0:
+        return jax.device_put(arr, NamedSharding(mesh, P(ROWS_AXIS)))
+    import logging
+
+    logging.getLogger("zkbf.mesh").warning(
+        "height %d not divisible by mesh size %d: replicating", arr.shape[0], n_dev
+    )
+    return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+def shard_fraction(arr) -> float:
+    """Fraction of `arr` stored on ONE device (1.0 = fully replicated).
+
+    The scaling self-check: a row-sharded intermediate on an n-device mesh
+    must report ~1/n (per-device live bytes ~ total/n_devices).
+    """
+    per_dev: dict = {}
+    for s in arr.addressable_shards:
+        per_dev.setdefault(s.device.id, 0)
+        per_dev[s.device.id] += s.data.size
+    first = next(iter(per_dev.values()))
+    return first / arr.size

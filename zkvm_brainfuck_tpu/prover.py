@@ -36,12 +36,61 @@ MAX_CPU_LOG_DEGREE = 22
 class BfVerifyingKey:
     vk: StarkVerifyingKey
 
+    def to_bytes(self) -> bytes:
+        """Serialize (reference StarkVerifyingKey serde, machine.rs:73-75):
+        verification no longer needs the process that ran setup."""
+        from .stark.serial import encode_vk
+
+        return encode_vk(self.vk)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BfVerifyingKey":
+        from .stark.serial import decode_vk
+
+        return cls(vk=decode_vk(data))
+
 
 @dataclass
 class BfProvingKey:
     pk: StarkProvingKey
     elf: str
     vk: BfVerifyingKey
+
+    def to_bytes(self) -> bytes:
+        """Serialize by carrying the guest source, like the reference
+        BfProvingKey carries the ELF (crates/prover/src/types.rs:9-14).
+
+        The device-resident PCS data (preprocessed traces, LDEs, Merkle
+        tree) is deliberately NOT serialized: it is recomputed
+        deterministically from the source on load - the TPU-native analogue
+        of the reference re-parsing pk.elf on every prove - and the
+        recomputed commitment is checked against the stored vk.
+        """
+        elf_b = self.elf.encode("utf-8")
+        vk_b = self.vk.to_bytes()
+        import struct
+
+        return struct.pack("<II", len(elf_b), len(vk_b)) + elf_b + vk_b
+
+    @classmethod
+    def from_bytes(cls, data: bytes, prover: "BfProver") -> "BfProvingKey":
+        import struct
+
+        from .stark.fri import VerificationFailure
+
+        if len(data) < 8:
+            raise VerificationFailure("truncated proving key bytes")
+        n_elf, n_vk = struct.unpack("<II", data[:8])
+        if 8 + n_elf + n_vk != len(data):
+            raise VerificationFailure("bad proving key framing")
+        elf = data[8 : 8 + n_elf].decode("utf-8")
+        stored_vk = BfVerifyingKey.from_bytes(data[8 + n_elf :])
+        pk, vk = prover.setup(elf)
+        if vk.vk.commit != stored_vk.vk.commit:
+            raise VerificationFailure(
+                "recomputed preprocessed commitment does not match stored vk"
+            )
+        return pk
 
 
 @dataclass

@@ -88,25 +88,58 @@ class DuplexChallenger:
     # -- proof-of-work ----------------------------------------------------
 
     def grind(self, bits: int, chunk: int = 1 << 17) -> int:
-        """Find and absorb a PoW witness; returns it. Device-parallel search."""
-        base_state = np.array(self.state, dtype=np.uint32)
-        buf = list(self.input_buffer)
-        k = len(buf)
+        """Find and absorb a PoW witness; returns it.
+
+        Device-parallel search with device-GENERATED candidates: the host
+        uploads one 16-element state template per call and fetches back two
+        scalars (found flag + witness) per chunk - nothing batch-sized ever
+        crosses the host<->device link (it is the scarce resource on a
+        tunneled TPU; the old path moved ~8 MB per chunk).
+        """
+        template = np.array(self.state, dtype=np.uint32)
+        k = len(self.input_buffer)
         assert k < RATE
+        template[:k] = self.input_buffer
+        template_dev = f.to_monty(jnp.asarray(template))
         start = 0
         while True:
-            cand = np.arange(start, start + chunk, dtype=np.uint32)
-            cand = cand[cand < f.P]
-            states = np.tile(base_state, (len(cand), 1))
-            for i, v in enumerate(buf):
-                states[:, i] = v
-            states[:, k] = cand
-            out = p2.permute(f.to_monty(jnp.asarray(states)))
-            sample7 = np.asarray(f.from_monty(out[:, RATE - 1]))
-            mask = (sample7 & ((1 << bits) - 1)) == 0
-            if mask.any():
-                witness = int(cand[int(np.argmax(mask))])
+            found, witness = _grind_program(bits, chunk)(
+                template_dev, np.uint32(start), np.uint32(k)
+            )
+            if bool(found):
+                witness = int(witness)
                 ok = self.check_witness(bits, witness)  # absorbs into transcript
                 assert ok
                 return witness
             start += chunk
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _grind_program(bits: int, chunk: int):
+    """One PoW chunk program: candidates start+i in (dynamic) column k of
+    the duplex state.  template_m: (16,) Montgomery state with pending
+    inputs already applied; returns (found?, witness) scalars."""
+    from ..utils.aot import jit_aot
+
+    def impl(template_m, start, k):
+        cand = jnp.arange(chunk, dtype=jnp.uint32) + start
+        states = jnp.broadcast_to(template_m, (chunk, WIDTH))
+        cand_m = f.to_monty(cand)
+        onehot = jnp.arange(WIDTH, dtype=jnp.uint32) == k
+        states = jnp.where(onehot[None, :], cand_m[:, None], states)
+        out = p2.permute(states)
+        sample7 = f.from_monty(out[:, RATE - 1])
+        mask = ((sample7 & ((1 << bits) - 1)) == 0) & (cand < f.P)
+        idx = jnp.argmax(mask)
+        return mask[idx], cand[idx]
+
+    return jit_aot(("grind", bits, chunk), impl)
+
+def warm_grind(bits: int, chunk: int = 1 << 17) -> None:
+    """Compile (without executing) the PoW search program."""
+    from ..utils.aot import sds
+
+    _grind_program(bits, chunk).warm(sds((16,)), np.uint32(0), np.uint32(0))

@@ -150,6 +150,50 @@ def selectors_on_coset(trace_log_n: int, coset_log_n: int, coset_shift: int):
     }
 
 
+@lru_cache(maxsize=None)
+def selectors_on_coset_dev(trace_log_n: int, coset_log_n: int, coset_shift: int):
+    """Device-generated Monty selector arrays (one tiny jit per signature).
+
+    Same values as `selectors_on_coset`, but built ON DEVICE from scalar
+    constants: the four coset-sized tables (4 x 8 MB at 2^21) never cross
+    the host->device link.  z_h is periodic with period = blowup, so its
+    (and the zeroifier-inverse's) Fermat inversion runs on `blowup` lanes.
+    """
+    assert coset_shift != 1
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import ntt as nt
+
+    def build():
+        n = 1 << trace_log_n
+        g_c = xf.two_adic_root(coset_log_n)
+        x = xf.fmul(
+            nt.powers_traced(g_c, coset_log_n),
+            jnp.uint32(xf.monty_of(coset_shift)),
+        )
+        log_per = coset_log_n - trace_log_n
+        zh_short = xf.fsub(
+            xf.fmul(
+                nt.powers_traced(pow(g_c, n, P), log_per),
+                jnp.uint32(xf.monty_of(pow(coset_shift, n, P))),
+            ),
+            jnp.uint32(xf.monty_of(1)),
+        )
+        g_inv = pow(xf.two_adic_root(trace_log_n), P - 2, P)
+        first_den = xf.fadd(x, jnp.uint32(xf.monty_of(P - 1)))
+        last_den = xf.fadd(x, jnp.uint32(xf.monty_of(P - g_inv)))
+        reps = 1 << trace_log_n
+        return {
+            "is_first_row": xf.fmul(jnp.tile(zh_short, reps), xf.finv(first_den)),
+            "is_last_row": xf.fmul(jnp.tile(zh_short, reps), xf.finv(last_den)),
+            "is_transition": last_den,
+            "inv_zeroifier": jnp.tile(xf.finv(zh_short), reps),
+        }
+
+    return jax.jit(build)()
+
+
 def pow_array(g: int, e: int, size: int) -> np.ndarray:
     """(g^e)^i for i in 0..size (uint64). g^e has small order: tiled."""
     ge = pow(g, e, P)

@@ -38,12 +38,17 @@ from .challenger import DuplexChallenger
 
 @lru_cache(maxsize=None)
 def _half_xinv(log_h: int):
-    """half * g_h^{-i} for i < h/2, Montgomery device array."""
-    h = 1 << log_h
+    """half * g_h^{-i} for i < h/2, Montgomery DEVICE array (generated on
+    device - no host upload; see ops/ntt.py powers_traced)."""
+    from ..ops import ntt as nt
+
     g_inv = pow(xf.two_adic_root(log_h), P - 2, P)
     half = pow(2, P - 2, P)
-    pows = xf.powers_host(g_inv, h // 2).astype(np.uint64)
-    return xf.np_to_monty(((pows * half) % P).astype(np.uint32))
+    return jax.jit(
+        lambda: xf.fmul(
+            nt.powers_traced(g_inv, log_h - 1), jnp.uint32(xf.monty_of(half))
+        )
+    )()
 
 
 def _fold_traced(v, beta_canon, half_xinv):
@@ -71,13 +76,16 @@ def _pair_commit_traced(v, rev):
 @lru_cache(maxsize=None)
 def _layer0_jit(log_h: int):
     """First commit-phase program: pair+commit the top layer."""
-    return jax.jit(lambda v, rev: _pair_commit_traced(v, rev))
+    from ..utils.aot import jit_aot
+
+    return jit_aot(("fri_layer0", log_h), lambda v, rev: _pair_commit_traced(v, rev))
 
 
 @lru_cache(maxsize=None)
 def _fold_commit_jit(log_h: int, has_input: bool, commit_next: bool):
     """Fused per-layer program: fold at log_h (+ inject the reduced-opening
     input arriving at log_h-1), then pair+commit the folded layer."""
+    from ..utils.aot import jit_aot
 
     def impl(v, beta_canon, half_xinv, inp, rev_next):
         folded = _fold_traced(v, beta_canon, half_xinv)
@@ -87,7 +95,32 @@ def _fold_commit_jit(log_h: int, has_input: bool, commit_next: bool):
             return folded
         return (folded,) + _pair_commit_traced(folded, rev_next)
 
-    return jax.jit(impl)
+    return jit_aot(("fri_fold", log_h, has_input, commit_next), impl)
+
+
+def warm_fri(input_heights, log_blowup: int) -> None:
+    """Compile (without executing) every FRI layer program this input-height
+    set will need - the exact layer sequence fri_prove will walk."""
+    from ..utils.aot import sds
+
+    from .pcs import _rev_dev
+
+    input_heights = set(input_heights)
+    log_max = max(input_heights)
+    _layer0_jit(log_max).warm(
+        tuple(sds((1 << log_max,)) for _ in range(4)), _rev_dev(log_max)
+    )
+    for log_h in range(log_max, log_blowup + 1, -1):
+        has_input = (log_h - 1) in input_heights and (log_h - 1) != log_max
+        commit_next = (log_h - 1) > log_blowup
+        inp_n = (1 << (log_h - 1)) if has_input else 1
+        _fold_commit_jit(log_h, has_input, commit_next).warm(
+            tuple(sds((1 << log_h,)) for _ in range(4)),
+            sds((4,)),
+            _half_xinv(log_h),
+            tuple(sds((inp_n,)) for _ in range(4)),
+            _rev_dev(log_h - 1),
+        )
 
 
 @dataclass
@@ -141,7 +174,7 @@ def fri_prove(
         out = fn(
             current,
             jnp.asarray(np.array(beta, np.uint32)),
-            jnp.asarray(_half_xinv(log_h)),
+            _half_xinv(log_h),
             inp,
             _rev_dev(log_h - 1),
         )

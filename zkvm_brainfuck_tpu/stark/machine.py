@@ -89,7 +89,9 @@ class StarkMachine:
                 chip.name,
                 time.time() - t0,
             )
-            named.append((chip.name, chip.local_only, xf.to_monty(prep)))
+            from ..parallel.mesh import place_rows
+
+            named.append((chip.name, chip.local_only, place_rows(xf.to_monty(prep))))
 
         named.sort(key=lambda t: (-t[2].shape[0], t[0]))
 

@@ -40,10 +40,13 @@ LOG_BLOWUP = 1
 @dataclass
 class PcsProverData:
     domains: List[Domain]
-    evals: List[jnp.ndarray]  # original evals, natural order, Monty
     coeffs: List[jnp.ndarray]  # coefficient matrices (n, W), Monty
     ldes: List[jnp.ndarray]  # LDE evals over GENERATOR*H_2n, natural, Monty
     tree: mk.MerkleTree  # commits bit-reversed LDE rows
+
+    # NOTE: the original eval matrices are NOT retained - openings use
+    # `coeffs`, quotient/FRI use `ldes` (round-2 lesson: holding a fourth
+    # copy of every committed matrix through pcs_open doubled peak HBM).
 
     @property
     def root(self) -> np.ndarray:
@@ -53,21 +56,35 @@ class PcsProverData:
 # Device-resident argument tables (twiddle blobs, bit-reversal permutations,
 # LDE shift powers).  Passing these as jit ARGUMENTS instead of letting the
 # tracer embed them keeps multi-MB constants out of the HLO (compile time and
-# persistent-cache keys both scale with HLO size).
+# persistent-cache keys both scale with HLO size).  They are GENERATED on
+# device (ops/ntt.py powers_traced et al.) - the host->device link on a
+# tunneled TPU is the scarcest resource, and these tables total >100 MB for
+# a 2^20-cycle prove.
 @lru_cache(maxsize=None)
 def _tw_dev(log_n: int, inverse: bool) -> jnp.ndarray:
-    return jnp.asarray(nt.twiddle_blob(log_n, inverse))
+    return jax.jit(lambda: nt.twiddle_blob_traced(log_n, inverse))()
 
 
 @lru_cache(maxsize=None)
 def _rev_dev(log_n: int) -> jnp.ndarray:
-    return jnp.asarray(nt.bit_reversal_perm(log_n).astype(np.int32))
+    return jax.jit(lambda: nt.bitrev_traced(log_n))()
 
 
 @lru_cache(maxsize=None)
 def _lde_shift_pows_dev(shift: int, log_n: int) -> jnp.ndarray:
     lde_shift = GENERATOR * pow(shift, P - 2, P) % P
-    return jnp.asarray(xf.np_to_monty(xf.powers_host(lde_shift, 1 << log_n)))
+    return jax.jit(lambda: nt.powers_traced(lde_shift, log_n))()
+
+
+@lru_cache(maxsize=None)
+def _lde_points_dev(log_h: int) -> jnp.ndarray:
+    """(2^log_h,) MONTY domain points of the LDE coset GENERATOR*H, device."""
+    return jax.jit(
+        lambda: xf.fmul(
+            nt.powers_traced(xf.two_adic_root(log_h), log_h),
+            jnp.uint32(xf.monty_of(GENERATOR)),
+        )
+    )()
 
 
 def _lde_traced(evals, log_n: int, aux: dict, spkey):
@@ -107,7 +124,32 @@ def _commit_program(sig: tuple):
         flat = mk.build_tree_traced(plan, digests)
         return tuple(coeffs), tuple(ldes), flat, mk.root_of(plan, flat)
 
-    return plan, jax.jit(impl)
+    from ..utils.aot import jit_aot
+
+    return plan, jit_aot(("commit", sig), impl)
+
+
+def _commit_aux(sig: tuple) -> dict:
+    """Device argument tables for one commit signature (device-generated)."""
+    aux = {"inv": {}, "fwd": {}, "rev": {}, "sp": {}}
+    for log_n, shift, _w in sig:
+        log_lde = log_n + LOG_BLOWUP
+        if log_n:
+            aux["inv"][log_n] = _tw_dev(log_n, True)
+            aux["rev"].setdefault(log_n, _rev_dev(log_n))
+        aux["fwd"][log_lde] = _tw_dev(log_lde, False)
+        aux["rev"].setdefault(log_lde, _rev_dev(log_lde))
+        aux["sp"][(shift, log_n)] = _lde_shift_pows_dev(shift, log_n)
+    return aux
+
+
+def warm_commit(sig: tuple) -> None:
+    """Compile (without executing) the fused commit program for `sig`."""
+    from ..utils.aot import sds
+
+    plan, fn = _commit_program(sig)
+    mats = tuple(sds((1 << ln, w)) for ln, _s, w in sig)
+    fn.warm(mats, _commit_aux(sig))
 
 
 def pcs_commit(domains_and_evals: Sequence[Tuple[Domain, jnp.ndarray]]) -> Tuple[np.ndarray, PcsProverData]:
@@ -120,23 +162,13 @@ def pcs_commit(domains_and_evals: Sequence[Tuple[Domain, jnp.ndarray]]) -> Tuple
         (d.log_n, d.shift, int(e.shape[1])) for d, e in domains_and_evals
     )
     plan, fn = _commit_program(sig)
-    aux = {"inv": {}, "fwd": {}, "rev": {}, "sp": {}}
-    for log_n, shift, _w in sig:
-        log_lde = log_n + LOG_BLOWUP
-        if log_n:
-            aux["inv"][log_n] = _tw_dev(log_n, True)
-            aux["rev"].setdefault(log_n, _rev_dev(log_n))
-        aux["fwd"][log_lde] = _tw_dev(log_lde, False)
-        aux["rev"].setdefault(log_lde, _rev_dev(log_lde))
-        aux["sp"][(shift, log_n)] = _lde_shift_pows_dev(shift, log_n)
-    coeffs, ldes, flat, root_dev = fn(tuple(evals), aux)
+    coeffs, ldes, flat, root_dev = fn(tuple(evals), _commit_aux(sig))
     tree = mk.MerkleTree(
         matrices=list(ldes), plan=plan, flat=flat, root=np.asarray(root_dev),
         bitrev=True,
     )
     data = PcsProverData(
-        domains=domains, evals=evals, coeffs=list(coeffs), ldes=list(ldes),
-        tree=tree,
+        domains=domains, coeffs=list(coeffs), ldes=list(ldes), tree=tree,
     )
     return tree.root, data
 
@@ -247,7 +279,9 @@ def _open_eval_program(sig: tuple):
             outs.append(_eval_mat_at_point_traced(cat, zp))
         return tuple(outs)
 
-    return group_list, jax.jit(impl)
+    from ..utils.aot import jit_aot
+
+    return group_list, jit_aot(("open_eval", sig), impl)
 
 
 @lru_cache(maxsize=None)
@@ -279,13 +313,13 @@ def _ro_program(sig: tuple):
 
     def impl(ldes, alpha_pows, s_vals, zs, pts):
         # alpha_pows: (A, 4) canonical; s_vals[g]: (4,) canonical;
-        # zs[zi]: (4,) canonical; pts[log_h]: (h,) canonical domain points.
+        # zs[zi]: (4,) canonical; pts[log_h]: (h,) MONTY domain points.
         ro = {log_h: xe.ezeros((1 << log_h,)) for log_h in heights}
         inv_cache = {}
         for g, (log_h, zi, members, c0, w_total) in enumerate(plan):
             key = (log_h, zi)
             if key not in inv_cache:
-                xm = xf.to_monty(pts[log_h])
+                xm = pts[log_h]
                 z_dev = xe.from_array(xf.to_monty(zs[zi]))
                 xz = xe.esub(
                     xe.from_base(xm),
@@ -301,7 +335,9 @@ def _ro_program(sig: tuple):
             )
         return {log_h: xe.to_array(v) for log_h, v in ro.items()}
 
-    return plan, jax.jit(impl)
+    from ..utils.aot import jit_aot
+
+    return plan, jit_aot(("ro", sig), impl)
 
 
 def _open_sig(rounds, zmap: Dict[tuple, int]) -> tuple:
@@ -320,11 +356,15 @@ def pcs_open(
     challenger: DuplexChallenger,
     num_queries: int,
     pow_bits: int,
+    free_after_use: Optional[Sequence[bool]] = None,
 ):
     """Open rounds at EF points.
 
     rounds: (data, points_per_matrix) where points_per_matrix[i] is the list
     of EF4 host tuples for matrix i.
+    free_after_use[r]: drop round r's coefficient/LDE buffers the moment the
+    pipeline no longer reads them (per-prove rounds; NOT the proving key's) -
+    bounds peak HBM to ~one live copy per committed matrix.
     Returns (opened_values, PcsProof); opened_values[r][i][p] = list of EF
     tuples per column.
     """
@@ -353,6 +393,7 @@ def pcs_open(
         zs = efh.mul_base(z_by_index[zi], pow(shift, P - 2, P))
         zpow_args[(zi, shift, log_n)] = _zeta_power_tables(zs, 1 << log_n)
     eval_pieces = eval_fn(coeff_args, zpow_args)
+    del coeff_args
 
     opened_values = [
         [[None] * len(pts) for pts in points_per_mat] for _, points_per_mat in rounds
@@ -370,6 +411,11 @@ def pcs_open(
             off += w
 
     _log.debug("open: eval values in %.3fs", _time.time() - _t0); _t0 = _time.time()
+
+    if free_after_use:
+        for r, (data, _pts) in enumerate(rounds):
+            if free_after_use[r]:
+                data.coeffs = [None] * len(data.coeffs)
 
     # 2. Bind opened values, then sample the combination challenge.
     for round_vals in opened_values:
@@ -399,7 +445,7 @@ def pcs_open(
     }
     n_alpha = max(c0 + w for _lh, _zi, _m, c0, w in ro_plan) if ro_plan else 1
     pts_args = {
-        log_h: jnp.asarray(_lde_points_host(log_h))
+        log_h: _lde_points_dev(log_h)
         for log_h in sorted({lh for lh, _zi, _m, _c, _w in ro_plan})
     }
     zs_args = {

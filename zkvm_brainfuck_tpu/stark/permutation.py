@@ -148,30 +148,44 @@ def generate_permutation_trace(chip: Chip, prep, main, alpha, beta_host):
             x = jnp.pad(x, ((0, pad), (0, 0)))
         return x.reshape((n_chunks, CHUNK_P) + x.shape[1:])
 
-    _CHIP_BY_KEY[id(chip)] = chip
-    key = (id(chip), n_chunks, prep is None)
+    fn = _perm_program(chip, n_chunks, prep is not None)
+
+    chunks = {"main": chunked(main)}
+    if prep is not None:
+        chunks["prep"] = chunked(prep)
+    entries, row_sum = fn(chunks, alpha, bpows)
+
+    nb = entries.shape[1]
+    return _phi_program(n, nb)(entries, row_sum)
+
+
+def _perm_program(chip: Chip, n_chunks: int, has_prep: bool):
+    """The chunk-scanned LogUp entry program (AOT-cached per signature)."""
+    key = (chip.name, n_chunks, has_prep)
     if key not in _PERM_JITS:
+        from ..utils.aot import jit_aot
+
+        _CHIP_BY_KEY[chip.name] = chip
 
         def impl(chunks, alpha_arg, bp):
             def body(_, xs):
                 ent, rs = _entries_chunk(
-                    _CHIP_BY_KEY[key[0]], xs.get("prep"), xs["main"], alpha_arg, bp
+                    _CHIP_BY_KEY[chip.name], xs.get("prep"), xs["main"], alpha_arg, bp
                 )
                 return None, (ent, rs)
 
             _, (ents, rss) = jax.lax.scan(body, None, chunks)
             return ents.reshape(-1, *ents.shape[2:]), rss.reshape(-1, 4)
 
-        _PERM_JITS[key] = jax.jit(impl)
+        _PERM_JITS[key] = jit_aot(("perm",) + key, impl)
+    return _PERM_JITS[key]
 
-    chunks = {"main": chunked(main)}
-    if prep is not None:
-        chunks["prep"] = chunked(prep)
-    entries, row_sum = _PERM_JITS[key](chunks, alpha, bpows)
 
-    nb = entries.shape[1]
+def _phi_program(n: int, nb: int):
+    """Running-sum scan program, shared across chips of equal (N, NB)."""
     pkey = (n, nb)
     if pkey not in _PHI_JITS:
+        from ..utils.aot import jit_aot
 
         def phi_impl(ents, rss):
             ents = ents[:n]
@@ -180,8 +194,35 @@ def generate_permutation_trace(chip: Chip, prep, main, alpha, beta_host):
             perm = jnp.concatenate([ents, phi[:, None, :]], axis=1)
             return perm, phi[-1]
 
-        _PHI_JITS[pkey] = jax.jit(phi_impl)
-    return _PHI_JITS[pkey](entries, row_sum)
+        _PHI_JITS[pkey] = jit_aot(("phi", n, nb), phi_impl)
+    return _PHI_JITS[pkey]
+
+
+def perm_shape(chip: Chip, log_degree: int):
+    """(n_chunks, padded_n, num_batches) for warm-up shape construction."""
+    n = 1 << log_degree
+    pad = (-n) % CHUNK_P
+    n_chunks = (n + pad) // CHUNK_P
+    inter = _interactions(chip)
+    num_batches = (len(inter) + chip.logup_batch_size - 1) // chip.logup_batch_size
+    return n_chunks, n + pad, num_batches
+
+
+def warm_permutation(chip: Chip, log_degree: int, prep_width) -> None:
+    """Compile (without executing) this chip's LogUp programs."""
+    from ..utils.aot import sds
+
+    n_chunks, padded, nb = perm_shape(chip, log_degree)
+    chunks = {"main": sds((n_chunks, CHUNK_P, chip.width))}
+    if prep_width:
+        chunks["prep"] = sds((n_chunks, CHUNK_P, prep_width))
+    bp = host_beta_pows(chip, (2, 0, 0, 0))
+    _perm_program(chip, n_chunks, bool(prep_width)).warm(
+        chunks, sds((4,)), sds(bp.shape)
+    )
+    _phi_program(1 << log_degree, nb).warm(
+        sds((padded, nb, 4)), sds((padded, 4))
+    )
 
 
 def eval_permutation_constraints(chip: Chip, b) -> None:

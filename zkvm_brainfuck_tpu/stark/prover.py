@@ -48,20 +48,35 @@ def _ext_to_dev(ef: tuple) -> jnp.ndarray:
     return xf.to_monty(jnp.asarray(np.array(ef, np.uint32)))
 
 
-# When set (see __graft_entry__.dryrun_multichip / parallel.mesh), generated
-# traces are placed row-sharded over this jax.sharding.Mesh and the whole
-# pipeline runs SPMD - XLA propagates the sharding through commits, LogUp,
-# quotient, and FRI, inserting collectives over the mesh axis.
-SHARD_MESH = None
+# Mesh state lives in parallel.mesh (set_shard_mesh/current_mesh); re-export
+# for callers that configure sharding through the prover module.
+from ..parallel.mesh import place_rows, set_shard_mesh  # noqa: F401
 
 
-def set_shard_mesh(mesh) -> None:
-    global SHARD_MESH
-    SHARD_MESH = mesh
+@dataclass
+class HostProvingKey:
+    """Host-resident proving key: the portable half of the MachineProver
+    device seam (reference DeviceProvingKey / pk_to_host, prover.rs:40-55).
+
+    Carries canonical (non-Montgomery) numpy preprocessed traces; device
+    PCS data (LDEs, Merkle tree) is recomputed by `pk_to_device`."""
+
+    commit: np.ndarray
+    traces: List[np.ndarray]
+    chip_ordering: Dict[str, int]
+    local_only: List[bool]
 
 
-class TpuProver:
-    """The hardware prover (reference CpuProver counterpart, prover.rs:162)."""
+class MachineProver:
+    """Hardware-abstraction seam (reference `MachineProver` trait,
+    crates/stark/src/prover.rs:27-150).
+
+    Subclasses own the device representation of traces and proving keys;
+    the Fiat-Shamir transcript only ever crosses this boundary as host
+    integers (roots, cumulative sums, opened values).  `prove` is the
+    backend-independent pipeline (prover.rs:560-583); `generate_traces`,
+    `commit`, and `open` are the backend's hot entry points.
+    """
 
     def __init__(self, machine: StarkMachine):
         self.machine = machine
@@ -73,6 +88,81 @@ class TpuProver:
     def setup(self, program: Program):
         return self.machine.setup(program)
 
+    # -- device residency (pk_to_device / pk_to_host, prover.rs:47-55) -----
+
+    def pk_to_host(self, pk: StarkProvingKey) -> HostProvingKey:
+        from ..utils.transfer import fetch_all
+
+        host_traces = fetch_all([xf.from_monty(t) for t in pk.traces])
+        return HostProvingKey(
+            commit=np.asarray(pk.commit),
+            traces=host_traces,
+            chip_ordering=dict(pk.chip_ordering),
+            local_only=list(pk.local_only),
+        )
+
+    def pk_to_device(self, host_pk: HostProvingKey) -> StarkProvingKey:
+        from .pcs import pcs_commit
+
+        traces = [xf.to_monty(jnp.asarray(t)) for t in host_pk.traces]
+        domains_and_traces = [
+            (Domain(t.shape[0].bit_length() - 1, 1), t) for t in traces
+        ]
+        root, data = pcs_commit(domains_and_traces)
+        assert [int(x) for x in root] == [int(x) for x in host_pk.commit], (
+            "preprocessed commitment mismatch moving pk to device"
+        )
+        return StarkProvingKey(
+            commit=root,
+            traces=traces,
+            data=data,
+            chip_ordering=dict(host_pk.chip_ordering),
+            local_only=list(host_pk.local_only),
+        )
+
+    # -- backend entry points ----------------------------------------------
+
+    def generate_traces(self, record: ExecutionRecord):
+        raise NotImplementedError
+
+    def commit(self, named_traces):
+        raise NotImplementedError
+
+    def open(self, pk, shard_data, challenger) -> ShardProof:
+        raise NotImplementedError
+
+    def prewarm(self, pk, chips, log_degrees) -> None:
+        """Hook: overlap program compilation with the serial transcript."""
+
+    def prove(
+        self,
+        pk: StarkProvingKey,
+        record: ExecutionRecord,
+        challenger: DuplexChallenger,
+    ) -> MachineProof:
+        pk.observe_into(challenger)
+        t0 = time.time()
+        named_traces = self.generate_traces(record)
+
+        named_sorted = sorted(named_traces, key=lambda t: (-t[1].shape[0], t[0]))
+        chips_sorted = self.machine.shard_chips_ordered(
+            {name: i for i, (name, _) in enumerate(named_sorted)}
+        )
+        self.prewarm(
+            pk,
+            chips_sorted,
+            [t.shape[0].bit_length() - 1 for _, t in named_sorted],
+        )
+
+        shard_data = self.commit(named_traces)
+        proof = self.open(pk, shard_data, challenger)
+        log.debug("prove_shard in %.3fs", time.time() - t0)
+        return MachineProof(shard_proof=proof)
+
+
+class TpuProver(MachineProver):
+    """The hardware prover (reference CpuProver counterpart, prover.rs:162)."""
+
     # -- phase 1: traces ---------------------------------------------------
 
     def generate_traces(self, record: ExecutionRecord):
@@ -81,18 +171,7 @@ class TpuProver:
         for chip in self.machine.shard_chips(record):
             t0 = time.time()
             trace = chip.air.generate_trace(record, deps)
-            trace = xf.to_monty(trace)
-            if SHARD_MESH is not None:
-                import jax
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                n_dev = SHARD_MESH.devices.size
-                spec = (
-                    PartitionSpec("rows")
-                    if trace.shape[0] % n_dev == 0
-                    else PartitionSpec()
-                )
-                trace = jax.device_put(trace, NamedSharding(SHARD_MESH, spec))
+            trace = place_rows(xf.to_monty(trace))
             named.append((chip.name, trace))
             log.debug("generated trace for chip %s in %.3fs", chip.name, time.time() - t0)
         return named
@@ -248,6 +327,8 @@ class TpuProver:
             challenger,
             num_queries=config.fri.num_queries,
             pow_bits=config.fri.proof_of_work_bits,
+            # per-prove rounds may be freed as consumed; pk.data persists
+            free_after_use=[False, True, True, True],
         )
         log.debug("opened multi batches in %.3fs", time.time() - t0)
 
@@ -297,37 +378,14 @@ class TpuProver:
             chip_ordering=dict(shard_data["chip_ordering"]),
         )
 
-    # -- full pipeline -----------------------------------------------------
+    # -- compile overlap ---------------------------------------------------
 
-    def prove(
-        self,
-        pk: StarkProvingKey,
-        record: ExecutionRecord,
-        challenger: DuplexChallenger,
-    ) -> MachineProof:
-        pk.observe_into(challenger)
-        t0 = time.time()
-        named_traces = self.generate_traces(record)
-
-        # Fire concurrent warm-up compiles for every downstream program (the
-        # transcript forces the PHASES serial; the COMPILES need not be).
+    def prewarm(self, pk, chips, log_degrees) -> None:
+        # Fire concurrent COMPILE-ONLY warm-ups for every downstream program
+        # (the transcript forces the PHASES serial; the COMPILES need not be).
         from .warm import warm_prove_programs
 
-        named_sorted = sorted(named_traces, key=lambda t: (-t[1].shape[0], t[0]))
-        chips_sorted = self.machine.shard_chips_ordered(
-            {name: i for i, (name, _) in enumerate(named_sorted)}
-        )
-        warm_prove_programs(
-            pk,
-            chips_sorted,
-            [t.shape[0].bit_length() - 1 for _, t in named_sorted],
-            self.config,
-        )
-
-        shard_data = self.commit(named_traces)
-        proof = self.open(pk, shard_data, challenger)
-        log.debug("prove_shard in %.3fs", time.time() - t0)
-        return MachineProof(shard_proof=proof)
+        warm_prove_programs(pk, chips, log_degrees, self.config)
 
 
 # Reference-compatible alias: the "CPU prover" name maps to the default

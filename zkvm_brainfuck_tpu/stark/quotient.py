@@ -34,7 +34,7 @@ from ..ops import field as xf
 from . import ef_host as efh
 from .builder import HostEFBackend, JnpBackend, NumericBuilder, V
 from .chip import Chip
-from .domains import Domain, selectors_on_coset
+from .domains import Domain, selectors_on_coset_dev
 from .permutation import eval_permutation_constraints
 
 CHUNK_Q = 1 << 14  # rows per scan step; all heights <= this share one compile
@@ -174,6 +174,7 @@ def _quotient_program(chip_key, n_chunks: int, next_step: int, has_prep: bool):
     once as the scan body; selectors and rolled next-row copies stream in as
     scan inputs."""
     chip = _CHIP_BY_KEY[chip_key]
+    name = chip.name
 
     def impl(chunks, alpha_m, bp, base_w, ext_w, csum):
         def body(_, xs):
@@ -203,7 +204,48 @@ def _quotient_program(chip_key, n_chunks: int, next_step: int, has_prep: bool):
         _, outs = jax.lax.scan(body, None, chunks)
         return outs.reshape(-1, 4)
 
-    return jax.jit(impl)
+    from ..utils.aot import jit_aot
+
+    return jit_aot(("quotient", name, n_chunks, next_step, has_prep), impl)
+
+
+def warm_quotient(chip, trace_log_n: int, prep_width) -> None:
+    """Compile (without executing) this chip's quotient program."""
+    from ..utils.aot import sds
+
+    log_qd = chip.log_quotient_degree
+    nq = 1 << (trace_log_n + log_qd)
+    next_step = 1 << log_qd
+    pad = (-nq) % CHUNK_Q
+    n_chunks = (nq + pad) // CHUNK_Q
+    flags = constraint_ext_flags(chip)
+    kb = sum(1 for ext in flags if not ext)
+    ke = sum(1 for ext in flags if ext)
+    from .permutation import _interactions
+
+    max_vals = max(len(lk.values) for lk, _ in _interactions(chip))
+    chunks = {
+        "first": sds((n_chunks, CHUNK_Q)),
+        "last": sds((n_chunks, CHUNK_Q)),
+        "trans": sds((n_chunks, CHUNK_Q)),
+        "invz": sds((n_chunks, CHUNK_Q)),
+        "main": sds((n_chunks, CHUNK_Q, chip.width)),
+        "main_next": sds((n_chunks, CHUNK_Q, chip.width)),
+        "perm": sds((n_chunks, CHUNK_Q, chip.permutation_width * 4)),
+        "perm_next": sds((n_chunks, CHUNK_Q, chip.permutation_width * 4)),
+    }
+    if prep_width:
+        chunks["prep"] = sds((n_chunks, CHUNK_Q, prep_width))
+        chunks["prep_next"] = sds((n_chunks, CHUNK_Q, prep_width))
+    _CHIP_BY_KEY[id(chip)] = chip
+    _quotient_program(id(chip), n_chunks, next_step, bool(prep_width)).warm(
+        chunks,
+        sds((4,)),
+        sds((max_vals + 1, 4)),
+        sds((kb, 4)),
+        sds((ke, 4)),
+        sds((4,)),
+    )
 
 
 _CHIP_BY_KEY = {}
@@ -238,7 +280,7 @@ def quotient_values(
 
     nq = quotient_domain.size
     next_step = 1 << (quotient_domain.log_n - trace_domain.log_n)
-    sels_np = selectors_on_coset(
+    sels_dev = selectors_on_coset_dev(
         trace_domain.log_n, quotient_domain.log_n, quotient_domain.shift
     )
 
@@ -251,10 +293,10 @@ def quotient_values(
         return x.reshape((n_chunks, CHUNK_Q) + x.shape[1:])
 
     chunks = {
-        "first": chunked(jnp.asarray(sels_np["is_first_row"])),
-        "last": chunked(jnp.asarray(sels_np["is_last_row"])),
-        "trans": chunked(jnp.asarray(sels_np["is_transition"])),
-        "invz": chunked(jnp.asarray(sels_np["inv_zeroifier"])),
+        "first": chunked(sels_dev["is_first_row"]),
+        "last": chunked(sels_dev["is_last_row"]),
+        "trans": chunked(sels_dev["is_transition"]),
+        "invz": chunked(sels_dev["inv_zeroifier"]),
         "main": chunked(main_on_coset),
         "main_next": chunked(jnp.roll(main_on_coset, -next_step, axis=0)),
         "perm": chunked(perm_on_coset),

@@ -32,6 +32,7 @@ from typing import List, Tuple
 import numpy as np
 
 MAGIC = b"ZKBF"
+VK_MAGIC = b"ZKBK"
 VERSION = 1
 
 
@@ -216,6 +217,70 @@ def _r_digest(r: _Reader) -> list:
 def _r_paths(r: _Reader) -> np.ndarray:
     n = r.count()
     return r.u32s(8 * n).reshape(n, 8)
+
+
+def encode_vk(vk) -> bytes:
+    """StarkVerifyingKey -> bytes (reference machine.rs:73-75 serde parity).
+
+    Layout: magic "ZKBK" | version | commit digest(8)
+            | n_chips x (name_len, utf8, log_n, shift, height, width)
+            | chip_ordering (n, then per chip: name_len, utf8, index)
+    """
+    w = _Writer()
+    w.raw(VK_MAGIC)
+    w.u32(VERSION)
+    _w_digest(w, vk.commit)
+    w.u32(len(vk.chip_information))
+    for name, domain, (h, wd) in vk.chip_information:
+        nb = name.encode("utf-8")
+        w.u32(len(nb))
+        w.raw(nb)
+        w.u32(domain.log_n)
+        w.u32(domain.shift)
+        w.u32(h)
+        w.u32(wd)
+    items = sorted(vk.chip_ordering.items(), key=lambda kv: kv[1])
+    w.u32(len(items))
+    for name, idx in items:
+        nb = name.encode("utf-8")
+        w.u32(len(nb))
+        w.raw(nb)
+        w.u32(idx)
+    return w.getvalue()
+
+
+def decode_vk(data: bytes):
+    """bytes -> StarkVerifyingKey (bounds-checked pure parsing)."""
+    from .domains import Domain
+    from .machine import StarkVerifyingKey
+
+    r = _Reader(data)
+    if r._take(4) != VK_MAGIC:
+        raise ProofDecodeError("bad vk magic")
+    if r.u32() != VERSION:
+        raise ProofDecodeError("unsupported vk version")
+    commit = _r_digest(r)
+    chip_information = []
+    for _ in range(r.count(1 << 10)):
+        name_len = r.count(1 << 10)
+        name = r._take(name_len).decode("utf-8")
+        log_n = r.count(64)
+        shift = r.u32()
+        h = r.count(1 << 26)
+        wd = r.count(1 << 20)
+        chip_information.append((name, Domain(log_n, shift), (h, wd)))
+    chip_ordering = {}
+    for _ in range(r.count(1 << 10)):
+        name_len = r.count(1 << 10)
+        name = r._take(name_len).decode("utf-8")
+        chip_ordering[name] = r.u32()
+    if not r.done():
+        raise ProofDecodeError("trailing bytes after vk")
+    return StarkVerifyingKey(
+        commit=commit,
+        chip_information=chip_information,
+        chip_ordering=chip_ordering,
+    )
 
 
 def decode_shard_proof(data: bytes):

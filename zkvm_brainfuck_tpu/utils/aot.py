@@ -1,10 +1,11 @@
 """AOT kernel cache: skip Python tracing + MLIR lowering across processes.
 
-The prover's hot programs (per-chip quotient / LogUp kernels, Merkle tree
-builders) have large traced graphs: profiling a cold 2^16-cycle prove on this
-image showed 157 s of jaxpr tracing + 90 s of MLIR lowering + 443 s of XLA
-compilation for ~20 s of actual compute.  JAX's persistent compilation cache
-only skips the XLA step - tracing and lowering re-run in every process.
+The prover's hot programs (per-chip quotient / LogUp kernels, fused batch
+commits, FRI layers) have large traced graphs: profiling a cold 2^16-cycle
+prove on this image showed 157 s of jaxpr tracing + 90 s of MLIR lowering +
+443 s of XLA compilation for ~20 s of actual compute.  JAX's persistent
+compilation cache only skips the XLA step - tracing and lowering re-run in
+every process.
 
 This module closes the rest of the gap with `jax.export`: the first build of
 a kernel serializes its StableHLO to disk; later processes deserialize and
@@ -12,9 +13,15 @@ call it directly (no tracing, no constraint-builder Python, no lowering), and
 the XLA compile of the deserialized module hits the persistent compilation
 cache because the HLO is byte-identical.
 
+`jax.export` only serializes pytrees with string dict keys, so the wrapper
+flattens inputs and outputs to flat leaf tuples and persists the output
+treedef in a pickle sidecar next to the StableHLO blob.
+
 Cache keys include the jax version, the backend platform, a hash of this
 package's source tree (any source edit invalidates every entry), and the
 caller-supplied kernel key (name + shape/static signature).
+
+Disable with ZKBF_AOT=0 (falls back to plain jax.jit).
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ from __future__ import annotations
 import hashlib
 import logging
 import os
+import pickle
 import time
 from typing import Callable, Sequence
 
@@ -29,6 +37,10 @@ log = logging.getLogger("zkbf.aot")
 
 _mem: dict = {}
 _code_version_cache: list = []
+
+
+def enabled() -> bool:
+    return os.environ.get("ZKBF_AOT", "1") != "0"
 
 
 def _package_root() -> str:
@@ -70,49 +82,167 @@ def _key_digest(key) -> str:
     return hashlib.sha256(repr(key).encode()).hexdigest()[:32]
 
 
-def cached_kernel(key, build: Callable[[], Callable], example_args: Sequence):
+def aot_compile(key, build: Callable[[], Callable], example_args: Sequence):
     """Return a compiled callable for `build()` specialized to `example_args`.
 
-    key: any repr-stable value identifying the kernel (name + shapes +
-    static config).  build: zero-arg factory returning the traceable
-    function.  example_args: arrays (or ShapeDtypeStructs) fixing the
-    signature.
+    key: any repr-stable value identifying the kernel (name + shapes + static
+    config).  build: zero-arg factory returning the traceable function.
+    example_args: the positional args pytree - arrays OR ShapeDtypeStructs
+    (the latter for compile-only warm-up).
 
-    First call per (machine, code version): traces + lowers + serializes to
-    disk.  Later processes: deserializes StableHLO (ms) and compiles via the
-    persistent XLA cache.  Within a process the jitted wrapper is memoized.
+    First call per (machine, code version): traces + lowers + serializes the
+    flat StableHLO and the output treedef to disk.  Later processes:
+    deserialize (ms), then XLA-compile via the persistent compilation cache.
+    Within a process the compiled executable is memoized by `key`.
     """
     import jax
 
     full_key = ("aot", key)
-    fn = _mem.get(full_key)
-    if fn is not None:
-        return fn
+    cached = _mem.get(full_key)
+    if cached is not None:
+        return cached
 
-    path = os.path.join(_cache_dir(), _key_digest(key) + ".shlo")
+    leaves, in_tree = jax.tree.flatten(tuple(example_args))
+    shapes = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+
+    if not enabled():
+        wrapper = jax.jit(build())
+        _mem[full_key] = wrapper
+        return wrapper
+
+    digest = _key_digest(key)
+    path = os.path.join(_cache_dir(), digest + ".shlo")
+    meta_path = os.path.join(_cache_dir(), digest + ".meta")
     exported = None
-    if os.path.exists(path) and not os.environ.get("ZKBF_AOT_DISABLE"):
+    out_tree = None
+    if os.path.exists(path) and os.path.exists(meta_path):
         try:
             t0 = time.time()
             with open(path, "rb") as fh:
                 exported = jax.export.deserialize(bytearray(fh.read()))
+            with open(meta_path, "rb") as fh:
+                meta = pickle.load(fh)
+            assert meta["key"] == repr(key), "digest collision"
+            out_tree = meta["out_tree"]
             log.debug("aot: loaded %r in %.3fs", key, time.time() - t0)
         except Exception as e:  # stale/corrupt entry: rebuild
             log.warning("aot: failed to load %r (%s); rebuilding", key, e)
             exported = None
     if exported is None:
         t0 = time.time()
-        shapes = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tuple(example_args)
-        )
-        exported = jax.export.export(jax.jit(build()))(*shapes)
-        if not os.environ.get("ZKBF_AOT_DISABLE"):
-            tmp = path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as fh:
-                fh.write(exported.serialize())
-            os.replace(tmp, path)
+        out_tree_cell = []
+        flat_fn = _flatwrap(build(), in_tree, out_tree_cell)
+        try:
+            exported = jax.export.export(jax.jit(flat_fn))(*shapes)
+        except Exception as e:
+            # Anything jax.export cannot handle falls back to plain jit.
+            log.warning("aot: export failed for %r (%s); plain jit", key, e)
+            fn = jax.jit(flat_fn)
+            wrapper = _rewrap(fn, out_tree_cell, in_tree)
+            _mem[full_key] = wrapper
+            return wrapper
+        out_tree = out_tree_cell[0]
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(exported.serialize())
+        os.replace(tmp, path)
+        tmp = meta_path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            pickle.dump({"key": repr(key), "out_tree": out_tree}, fh)
+        os.replace(tmp, meta_path)
         log.debug("aot: built %r in %.3fs", key, time.time() - t0)
 
-    fn = jax.jit(exported.call)
-    _mem[full_key] = fn
-    return fn
+    t0 = time.time()
+    compiled = jax.jit(exported.call).lower(*shapes).compile()
+    log.debug("aot: compiled %r in %.3fs", key, time.time() - t0)
+
+    def wrapper(*args):
+        lv, td = jax.tree.flatten(tuple(args))
+        assert td == in_tree, f"aot {key}: arg structure changed"
+        return jax.tree.unflatten(out_tree, compiled(*lv))
+
+    _mem[full_key] = wrapper
+    return wrapper
+
+
+def _flatwrap(fn, in_tree, out_tree_cell=None):
+    import jax
+
+    def flat_fn(*leaves):
+        out = fn(*jax.tree.unflatten(in_tree, leaves))
+        out_leaves, out_tree = jax.tree.flatten(out)
+        if out_tree_cell is not None and not out_tree_cell:
+            out_tree_cell.append(out_tree)
+        return tuple(out_leaves)
+
+    return flat_fn
+
+
+def _rewrap(flat_jit, out_tree_cell, in_tree):
+    """Wrap a flat jit fallback back into pytree-in/pytree-out form.
+
+    The cell fills during the first (tracing) call, so unflattening after
+    the call is always safe."""
+    import jax
+
+    def wrapper(*args):
+        lv, _ = jax.tree.flatten(tuple(args))
+        out = flat_jit(*lv)
+        return jax.tree.unflatten(out_tree_cell[0], out)
+
+    return wrapper
+
+
+import threading
+
+_locks_guard = threading.Lock()
+_locks: dict = {}
+
+
+def _key_lock(key) -> threading.Lock:
+    with _locks_guard:
+        lk = _locks.get(key)
+        if lk is None:
+            lk = _locks[key] = threading.Lock()
+        return lk
+
+
+def jit_aot(key, impl):
+    """Drop-in `jax.jit(impl)` replacement: AOT-compiled on first call using
+    the real call arguments as the specialization signature.  The caller's
+    `key` must determine every arg shape (callers key their program caches by
+    shape signature already).
+
+    `wrapper.warm(*args)` compiles without executing - args may be
+    ShapeDtypeStructs, so warm-up allocates NO device buffers.  Per-key
+    locking makes warm threads and the real pipeline rendezvous on the same
+    compile instead of duplicating it (compiles release the GIL, so distinct
+    keys still compile concurrently)."""
+    state = {}
+
+    def _ensure(args):
+        fn = state.get("fn")
+        if fn is None:
+            with _key_lock(("jit_aot", key)):
+                fn = state.get("fn")
+                if fn is None:
+                    fn = aot_compile(key, lambda: impl, args)
+                    state["fn"] = fn
+        return fn
+
+    def wrapper(*args):
+        return _ensure(args)(*args)
+
+    def warm(*args):
+        _ensure(args)
+
+    wrapper.warm = warm
+    return wrapper
+
+
+def sds(shape, dtype=None):
+    """ShapeDtypeStruct shorthand for warm-up argument skeletons."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.ShapeDtypeStruct(tuple(shape), dtype or jnp.uint32)
