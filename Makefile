@@ -1,0 +1,25 @@
+# Mirrors the reference Makefile (fmt / clippy / test, Makefile:23-24).
+PY ?= python
+
+.PHONY: test test-fast lint fmt bench native audit
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+test-fast:
+	$(PY) -m pytest tests/ -x -q --ignore=tests/test_e2e.py --ignore=tests/test_sharded.py --ignore=tests/test_debug_and_adversarial.py
+
+lint:
+	ruff check zkvm_brainfuck_tpu tests tools bench.py
+
+fmt:
+	ruff format zkvm_brainfuck_tpu tests tools bench.py
+
+bench:
+	$(PY) bench.py
+
+native:
+	$(MAKE) -C zkvm_brainfuck_tpu/core/native
+
+audit:
+	$(PY) tools/graph_audit.py
