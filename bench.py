@@ -46,15 +46,20 @@ def log(msg):
 
 
 def bench_guest(log2_cycles: int) -> str:
-    """Loop-heavy guest: '-[>-[-]<-]' is ~133k cycles (255 outer iterations
-    of a 255-iteration inner clear loop); repeat to reach the target.
-    Below one unit, use a plain straight-line '+-' guest with one output."""
+    """Guest with EXACTLY 2^k - 1 cycles -> a 2^k-row CPU trace (the
+    north-star metric is prove rate at a given trace height; overshooting
+    into the next power of two doubles every chip's rows).
+
+    Composition: m loop units '-[>-[-]<-]' (255 outer iterations of a
+    255-iteration inner clear loop, 131_582 cycles measured) + a
+    straight-line '+-' filler + one output."""
     unit = "-[>-[-]<-]"
-    unit_cycles = 133_003
-    target = 1 << log2_cycles
-    if target >= unit_cycles:
-        return unit * max(1, round(target / unit_cycles))
-    return "+-" * ((target - 1) // 2) + "."
+    unit_cycles = 131_582
+    target = (1 << log2_cycles) - 1
+    m = max(0, (target - 1) // unit_cycles)
+    rest = target - 1 - unit_cycles * m
+    q, r = divmod(rest, 2)
+    return unit * m + "+-" * q + "+" * r + "."
 
 
 def emit(cycles, elapsed, phase, extra=None):
@@ -117,16 +122,20 @@ def run_rung(rung: int, do_warm: bool) -> None:
         "device": device,
     })
     if do_warm:
-        log(f"rung 2^{rung}: prove (warm)")
-        t1 = time.time()
-        proof = client.prove(pk).run()
-        elapsed = time.time() - t1
-        client.verify(proof, vk)
-        log(f"rung 2^{rung}: warm {elapsed:.1f}s")
-        emit(proof.proof.cycles, elapsed, "steady", {
-            "proof_bytes": len(proof.proof.proof.to_bytes()),
-            "device": device,
-        })
+        # Two warm iterations: the first still absorbs stragglers (async
+        # dispatches, host GC); the second is the true steady state.  Each is
+        # emitted, so the driver's "last line" is the best measurement.
+        for it in range(2):
+            log(f"rung 2^{rung}: prove (warm {it + 1})")
+            t1 = time.time()
+            proof = client.prove(pk).run()
+            elapsed = time.time() - t1
+            client.verify(proof, vk)
+            log(f"rung 2^{rung}: warm {elapsed:.1f}s")
+            emit(proof.proof.cycles, elapsed, "steady", {
+                "proof_bytes": len(proof.proof.proof.to_bytes()),
+                "device": device,
+            })
 
 
 # ---------------------------------------------------------------------------
