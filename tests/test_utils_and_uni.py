@@ -123,3 +123,23 @@ def test_uni_stark_memory_instrs_roundtrip():
     from zkvm_brainfuck_tpu.models.memory_instr import MemoryInstructionsChip
 
     _uni_roundtrip(MemoryInstructionsChip, _branchy_record(), tamper_col=2)  # mp limb -> breaks next_mp = mp+-1
+
+
+def test_graph_audit_smoke():
+    """tools/graph_audit.py must stay runnable (it rotted once, VERDICT r2):
+    audit one small chip and sanity-check the equation counts."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import graph_audit
+
+    from zkvm_brainfuck_tpu.models.io import IoChip
+    from zkvm_brainfuck_tpu.stark.chip import Chip
+
+    out = graph_audit.audit([Chip(IoChip())])
+    (perm_eqns, q_eqns, n_constraints) = out["IO"]
+    assert perm_eqns > 100 and q_eqns > 100 and n_constraints >= 1
+    # compile/trace budget: a regression that balloons these graphs shows up
+    # as minutes of extra XLA time (keep each well under ~100k eqns)
+    assert perm_eqns < 100_000 and q_eqns < 100_000

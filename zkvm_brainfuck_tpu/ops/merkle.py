@@ -129,26 +129,48 @@ def sponge_rows_traced(mats: Sequence[jnp.ndarray]) -> jnp.ndarray:
     cols = [m[:, c] for m in mats for c in range(m.shape[1])]
     w = len(cols)
     n_full = w // 8
-    state = jnp.zeros((h, p2.WIDTH), dtype=jnp.uint32)
+    if not p2._use_soa():
+        # CPU test backend: rolled permute + lax.scan keeps graphs small.
+        state = jnp.zeros((h, p2.WIDTH), dtype=jnp.uint32)
+        if n_full == 1:
+            chunk = jnp.stack(cols[:8], axis=1)
+            state = p2.permute(jnp.concatenate([chunk, state[:, 8:]], axis=1))
+        elif n_full > 1:
+            stacked = jnp.stack(
+                [jnp.stack(cols[i * 8 : (i + 1) * 8], axis=1) for i in range(n_full)]
+            )  # (n_full, H, 8)
+
+            def step(st, chunk):
+                st = p2.permute(jnp.concatenate([chunk, st[:, 8:]], axis=1))
+                return st, None
+
+            state, _ = jax.lax.scan(step, state, stacked)
+        rem = w - n_full * 8
+        if rem:
+            chunk = jnp.stack(cols[n_full * 8 :], axis=1)
+            state = p2.permute(jnp.concatenate([chunk, state[:, rem:]], axis=1))
+        return state[:, :8]
+    # TPU: column-form sponge state (16 separate (H,) arrays = full lane
+    # utilization, see poseidon2._use_soa); full rate-8 chunks run under one
+    # lax.scan so the graph carries a single permutation instance.
+    zero = jnp.zeros((h,), dtype=jnp.uint32)
+    state = [zero] * p2.WIDTH
     if n_full == 1:
-        # single permutation; scan overhead not worth it
-        chunk = jnp.stack(cols[:8], axis=1)
-        state = p2.permute(jnp.concatenate([chunk, state[:, 8:]], axis=1))
+        state = p2.permute_cols(list(cols[:8]) + state[8:])
     elif n_full > 1:
         stacked = jnp.stack(
-            [jnp.stack(cols[i * 8 : (i + 1) * 8], axis=1) for i in range(n_full)]
-        )  # (n_full, H, 8)
+            [jnp.stack(cols[i * 8 : (i + 1) * 8], axis=0) for i in range(n_full)]
+        )  # (n_full, 8, H)
 
         def step(st, chunk):
-            st = p2.permute(jnp.concatenate([chunk, st[:, 8:]], axis=1))
-            return st, None
+            return tuple(p2.permute_cols([chunk[j] for j in range(8)] + list(st[8:]))), None
 
-        state, _ = jax.lax.scan(step, state, stacked)
+        state, _ = jax.lax.scan(step, tuple(state), stacked)
+        state = list(state)
     rem = w - n_full * 8
     if rem:
-        chunk = jnp.stack(cols[n_full * 8 :], axis=1)
-        state = p2.permute(jnp.concatenate([chunk, state[:, rem:]], axis=1))
-    return state[:, :8]
+        state = p2.permute_cols(list(cols[n_full * 8 :]) + state[rem:])
+    return jnp.stack(state[:8], axis=1)
 
 
 def build_tree_traced(
