@@ -17,7 +17,16 @@ import pytest
 os.environ.setdefault("FRI_QUERIES", "12")
 
 from zkvm_brainfuck_tpu import ProverClient
-from zkvm_brainfuck_tpu.stark.fri import VerificationFailure
+from zkvm_brainfuck_tpu.stark.errors import (
+    CpuLogDegreeTooLarge,
+    InvalidOpeningArgument,
+    InvalidPowWitness,
+    MachineVerificationError,
+    MissingCpuChip,
+    OodEvaluationMismatch,
+    OpeningShapeError,
+    VerificationFailure,
+)
 
 GUEST = ",+."  # one IO read, one add, one output
 
@@ -86,9 +95,10 @@ def test_debug_catches_corrupted_permutation_trace():
 def test_wrong_vk_rejected(proven):
     client, pk, vk, proof = proven
     _pk2, vk2 = client.setup("+++.")
-    with pytest.raises(Exception) as e:
+    # wrong vk => typed VerificationFailure (structural malformations are
+    # wrapped in MachineVerificationError by machine.verify)
+    with pytest.raises(VerificationFailure):
         _verify(client, proof, vk2)
-    assert isinstance(e.value, (VerificationFailure, AssertionError, KeyError))
 
 
 def test_tampered_commitments_rejected(proven):
@@ -99,7 +109,12 @@ def test_tampered_commitments_rejected(proven):
         digest = list(getattr(commitment, field))
         digest[0] = (digest[0] + 1) % 0x7F000001
         setattr(commitment, field, digest)
-        with pytest.raises(VerificationFailure):
+        # A tampered commitment diverges the Fiat-Shamir transcript; the
+        # first downstream check to notice is the PoW grind (p=1-2^-16),
+        # else a query-path/OOD mismatch - never an untyped failure.
+        with pytest.raises(
+            (InvalidPowWitness, InvalidOpeningArgument, OodEvaluationMismatch)
+        ):
             _verify(client, bad, vk)
 
 
@@ -110,7 +125,9 @@ def test_tampered_merkle_sibling_rejected(proven):
     b = opening.query_input_openings[0][0]
     b.proof = np.array(b.proof, dtype=np.uint32, copy=True)
     b.proof[0][0] ^= 1
-    with pytest.raises(VerificationFailure):
+    # opened values untouched => transcript replays fine; the Merkle path
+    # check itself must be what rejects
+    with pytest.raises(InvalidOpeningArgument):
         _verify(client, bad, vk)
 
 
@@ -119,7 +136,7 @@ def test_truncated_opening_proof_rejected(proven):
     bad = copy.deepcopy(proof)
     opening = bad.proof.proof.shard_proof.opening_proof
     opening.query_input_openings = opening.query_input_openings[:-1]
-    with pytest.raises((VerificationFailure, IndexError)):
+    with pytest.raises(OpeningShapeError):
         _verify(client, bad, vk)
 
 
@@ -130,7 +147,9 @@ def test_tampered_fri_final_poly_rejected(proven):
     fp = list(fri.final_poly)
     fp[0] = (fp[0] + 1) % 0x7F000001
     fri.final_poly = tuple(fp)
-    with pytest.raises(VerificationFailure):
+    # final_poly is observed before the PoW witness check, so the grind
+    # rejects first (p=1-2^-16); the fold-chain check is the backstop
+    with pytest.raises((InvalidPowWitness, InvalidOpeningArgument)):
         _verify(client, bad, vk)
 
 
@@ -152,3 +171,51 @@ def test_full_production_fri_config():
             del os.environ["FRI_QUERIES"]
         else:
             os.environ["FRI_QUERIES"] = old
+
+
+def test_missing_cpu_chip_typed(proven):
+    client, pk, vk, proof = proven
+    bad = copy.deepcopy(proof)
+    sp = bad.proof.proof.shard_proof
+    sp.chip_ordering = {
+        (k if k != "Cpu" else "NotCpu"): v for k, v in sp.chip_ordering.items()
+    }
+    with pytest.raises(MissingCpuChip):
+        _verify(client, bad, vk)
+
+
+def test_cpu_log_degree_bound_typed(proven):
+    client, pk, vk, proof = proven
+    bad = copy.deepcopy(proof)
+    sp = bad.proof.proof.shard_proof
+    cpu_i = sp.chip_ordering["Cpu"]
+    sp.opened_values[cpu_i].log_degree = 23
+    with pytest.raises(CpuLogDegreeTooLarge):
+        _verify(client, bad, vk)
+
+
+def test_tampered_opened_value_rejected_typed(proven):
+    """Corrupt one opened main value: the transcript replays it (observed),
+    so rejection comes from the PoW / OOD / opening checks - typed."""
+    client, pk, vk, proof = proven
+    bad = copy.deepcopy(proof)
+    sp = bad.proof.proof.shard_proof
+    vals = sp.opened_values[0].main.local
+    y = list(vals[0])
+    y[0] = (y[0] + 1) % 0x7F000001
+    vals[0] = tuple(y)
+    with pytest.raises(
+        (InvalidPowWitness, InvalidOpeningArgument, OodEvaluationMismatch)
+    ):
+        _verify(client, bad, vk)
+
+
+def test_malformed_proof_wrapped(proven):
+    """A structurally broken proof (chip ordering pointing nowhere) must
+    surface as MachineVerificationError, not a raw KeyError/IndexError."""
+    client, pk, vk, proof = proven
+    bad = copy.deepcopy(proof)
+    sp = bad.proof.proof.shard_proof
+    sp.chip_ordering = {k: v + 50 for k, v in sp.chip_ordering.items()}
+    with pytest.raises(VerificationFailure):
+        _verify(client, bad, vk)

@@ -143,3 +143,47 @@ def test_grind():
     w = c.grind(10)
     # witness validates against the pre-grind transcript clone
     assert check.check_witness(10, w)
+
+
+def test_soa_branch_equivalence_on_cpu():
+    """Force the TPU structure-of-arrays permutation branch on the CPU test
+    backend (ADVICE r3: _use_soa() is False on CPU, so the SoA path - the one
+    production TPU proving actually runs - was otherwise only exercised on
+    real hardware).  Checks permute_cols, the sponge, and the Merkle
+    leaf-sponge scan against the exact host permutation."""
+    from zkvm_brainfuck_tpu.ops import merkle as mk
+
+    states = RNG.integers(0, P, size=(16, 16), dtype=np.uint32)
+    mat = RNG.integers(0, P, size=(32, 19), dtype=np.uint32)
+
+    p2._use_soa.cache_clear()
+    orig = p2._use_soa.__wrapped__
+    try:
+        p2._use_soa.cache_clear()
+        # lru_cache wraps the function; patch by replacing the cached value
+        p2._use_soa = lambda: True
+
+        cols = [f.to_monty(jnp.asarray(states[:, i])) for i in range(16)]
+        out_cols = p2.permute_cols(cols)
+        dev = np.stack([np.asarray(f.from_monty(c)) for c in out_cols], axis=1)
+        for i in range(states.shape[0]):
+            assert [int(x) for x in dev[i]] == p2.permute_host(
+                [int(x) for x in states[i]]
+            )
+
+        # permute() dispatches through the SoA branch too
+        dev2 = np.asarray(f.from_monty(p2.permute(f.to_monty(jnp.asarray(states)))))
+        assert (dev2 == dev).all()
+
+        # Merkle leaf sponge (the lax.scan-over-chunks path) in SoA form
+        digests = np.asarray(
+            f.from_monty(mk.sponge_rows_traced([f.to_monty(jnp.asarray(mat))]))
+        )
+        for i in range(0, mat.shape[0], 7):
+            assert [int(x) for x in digests[i]] == p2.hash_host(
+                [int(x) for x in mat[i]]
+            )
+    finally:
+        from functools import lru_cache
+
+        p2._use_soa = lru_cache(maxsize=None)(orig)

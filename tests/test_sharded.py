@@ -86,5 +86,49 @@ def test_sharded_intermediates_stay_sharded():
             if lde.shape[0] >= (1 << 14):
                 frac = shard_fraction(lde)
                 assert frac <= 1.01 / 8, f"main LDE replicated: {frac}"
+
+        # LogUp permutation traces (VERDICT r3 weak item 6c): the Byte chip
+        # (2^16 rows) goes through the explicit-collective phi scan - its
+        # permutation trace must stay row-sharded, its cumulative sum must
+        # equal the single-device value (proof-byte equality in the other
+        # test already pins this, but check the fraction here).
+        import jax.numpy as jnp
+        import numpy as np
+
+        from zkvm_brainfuck_tpu.ops import field as xf
+        from zkvm_brainfuck_tpu.stark.permutation import generate_permutation_trace
+        from zkvm_brainfuck_tpu.stark.quotient import quotient_values
+        from zkvm_brainfuck_tpu.stark.domains import Domain
+
+        chips = prover.machine.shard_chips_ordered(shard_data["chip_ordering"])
+        byte_i = next(
+            i for i, c in enumerate(chips) if c.name == "Byte"
+        )
+        chip = chips[byte_i]
+        trace = shard_data["traces"][byte_i]
+        prep = pk.pk.traces[pk.pk.chip_ordering[chip.name]]
+        alpha_dev = xf.to_monty(jnp.asarray(np.array([1, 2, 3, 4], np.uint32)))
+        perm, csum = generate_permutation_trace(
+            chip, prep, trace, alpha_dev, (5, 6, 7, 8)
+        )
+        frac = shard_fraction(perm)
+        assert frac <= 1.01 / 8, f"perm trace replicated: {frac}"
+
+        # quotient chunk matrices (VERDICT r3 weak item 6c)
+        log_d = trace.shape[0].bit_length() - 1
+        td = Domain(log_d, 1)
+        qdomain = td.create_disjoint_domain(1 << (log_d + chip.log_quotient_degree))
+        prep_lde = pk.pk.data.ldes[pk.pk.chip_ordering[chip.name]]
+        main_lde = shard_data["data"].ldes[byte_i]
+        perm_flat = perm.reshape(perm.shape[0], -1)
+        from zkvm_brainfuck_tpu.stark.pcs import pcs_commit
+
+        _, perm_data = pcs_commit([(td, perm_flat)])
+        qvals = quotient_values(
+            chip, td, qdomain, prep_lde, main_lde, perm_data.ldes[0],
+            [(1, 2, 3, 4), (5, 6, 7, 8)], (9, 10, 11, 12), csum,
+        )
+        frac = shard_fraction(qvals)
+        assert frac <= 1.01 / 8, f"quotient values replicated: {frac}"
     finally:
         stark_prover.set_shard_mesh(None)

@@ -467,3 +467,52 @@ def verify_batch(
             injected = p2.hash_host([v for row in by_height[size] for v in row])
             curr = p2.compress_host(curr, injected)
     return curr == [int(x) for x in root]
+
+
+def verify_batch_np(
+    root,
+    dims: Sequence[tuple],
+    indices: np.ndarray,
+    opened_rows: Sequence[np.ndarray],
+    proofs: np.ndarray,
+) -> np.ndarray:
+    """Vectorized host-side batch-opening check over ALL queries at once.
+
+    Same semantics as `verify_batch` (p3 MerkleTreeMmcs verify), but walks
+    every query in one numpy pass: the scalar walk cost the round-3 verifier
+    ~7.6 s at 2^18 (84 queries x ~20 levels of Python Poseidon2).
+
+    dims: per matrix (height, width).
+    indices: (Q,) leaf indices.
+    opened_rows[m]: (Q, W_m) canonical values for matrix m.
+    proofs: (Q, log_max, 8) sibling digests, leaf-to-root order.
+    Returns a (Q,) bool array (True = path checks out against `root`).
+    """
+    from . import poseidon2 as p2
+
+    q = len(indices)
+    heights = [h for h, _ in dims]
+    max_h = max(heights)
+    log_max = max_h.bit_length() - 1
+
+    by_height: dict = {}
+    for (h, _w), rows in zip(dims, opened_rows):
+        by_height.setdefault(h, []).append(np.asarray(rows, dtype=np.uint64))
+
+    curr = p2.hash_np(np.concatenate(by_height[max_h], axis=1))  # (Q, 8)
+    idx = np.asarray(indices, dtype=np.int64).copy()
+    proofs = np.asarray(proofs, dtype=np.uint64)
+    size = max_h
+    for level in range(log_max):
+        sib = proofs[:, level]  # (Q, 8)
+        odd = (idx & 1).astype(bool)[:, None]
+        left = np.where(odd, sib, curr)
+        right = np.where(odd, curr, sib)
+        curr = p2.compress_np(left, right)
+        idx >>= 1
+        size //= 2
+        if size in by_height:
+            injected = p2.hash_np(np.concatenate(by_height[size], axis=1))
+            curr = p2.compress_np(curr, injected)
+    root_v = np.asarray([int(x) for x in root], dtype=np.uint64)
+    return (curr == root_v[None, :]).all(axis=1)

@@ -249,10 +249,12 @@ def permute_cols(cols):
 
     # Rounds are rolled (fori_loop over a 16-tuple carry) so the graph stays
     # ~70 primitives per round body; the LAYOUT is what buys the speed, not
-    # unrolling (measured identical unrolled).  NOTE: do not call this inside
-    # another scan/loop body - a tuple carry nested in an outer scan makes
-    # XLA compiles take tens of minutes; tree-level walks use the rolled AoS
-    # form instead (ops/merkle.py).
+    # unrolling (measured identical unrolled).  This rolled form IS safe to
+    # call inside an outer lax.scan body (the Merkle leaf sponge and tree
+    # walks do, ops/merkle.py - round 3 shipped and measured exactly that);
+    # what made XLA compiles take 18+ minutes in round 2 was the UNROLLED
+    # permutation (~1.5k primitives per instance) replicated across a fused
+    # commit program.  Keep round loops rolled.
     def ext_round(r, cs):
         return tuple(
             ext_linear([sbox(add(c, rc_ext[r, i])) for i, c in enumerate(cs)])
@@ -349,3 +351,82 @@ def compress(left, right):
     """TruncatedPermutation over batches: (N,8),(N,8) -> (N,8)."""
     cols = [left[:, i] for i in range(8)] + [right[:, i] for i in range(8)]
     return jnp.stack(permute_cols(cols)[:OUT], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized host (numpy uint64) permutation - the verifier's batch walker.
+#
+# The verifier checks 84 query paths x ~20 Merkle levels x several rounds;
+# doing that through scalar-Python permute_host cost ~7.6 s at 2^18
+# (VERDICT r3).  These run the same exact arithmetic on (N, 16) uint64
+# canonical batches: products < 2^62 fit u64, sums are reduced eagerly.
+# ---------------------------------------------------------------------------
+
+_NP_RC_INITIAL = np.array(RC_INITIAL, dtype=np.uint64)
+_NP_RC_INTERNAL = np.array(RC_INTERNAL, dtype=np.uint64)
+_NP_RC_TERMINAL = np.array(RC_TERMINAL, dtype=np.uint64)
+_NP_DIAG = np.array(INTERNAL_DIAG, dtype=np.uint64)
+_U64P = np.uint64(P)
+
+
+def _np_sbox(x):
+    return x * x % _U64P * x % _U64P
+
+
+def _np_external_linear(s):
+    """(N, 16) -> (N, 16), canonical u64."""
+    out = np.empty_like(s)
+    blocks = []
+    for b in range(0, WIDTH, 4):
+        a, bb, c, d = s[:, b], s[:, b + 1], s[:, b + 2], s[:, b + 3]
+        t_all = (a + bb + c + d) % _U64P
+        blocks.append(
+            np.stack(
+                [
+                    (t_all + a + 2 * bb) % _U64P,
+                    (t_all + bb + 2 * c) % _U64P,
+                    (t_all + c + 2 * d) % _U64P,
+                    (t_all + d + 2 * a) % _U64P,
+                ],
+                axis=1,
+            )
+        )
+    sums = (blocks[0] + blocks[1] + blocks[2] + blocks[3]) % _U64P
+    for b in range(4):
+        out[:, 4 * b : 4 * b + 4] = (blocks[b] + sums) % _U64P
+    return out
+
+
+def permute_np(states: np.ndarray) -> np.ndarray:
+    """Exact Poseidon2 on (N, 16) canonical uint64 (or any uint) batches."""
+    s = np.asarray(states, dtype=np.uint64) % _U64P
+    s = _np_external_linear(s)
+    for r in range(4):
+        s = _np_external_linear(_np_sbox((s + _NP_RC_INITIAL[r]) % _U64P))
+    for r in range(ROUNDS_P):
+        s0 = _np_sbox((s[:, 0] + _NP_RC_INTERNAL[r]) % _U64P)
+        s = s.copy()
+        s[:, 0] = s0
+        tot = s.sum(axis=1) % _U64P
+        s = (tot[:, None] + _NP_DIAG[None, :] * s) % _U64P
+    for r in range(4):
+        s = _np_external_linear(_np_sbox((s + _NP_RC_TERMINAL[r]) % _U64P))
+    return s
+
+
+def hash_np(matrix: np.ndarray) -> np.ndarray:
+    """PaddingFreeSponge 16/8/8 per row: (N, W) canonical -> (N, 8) u64."""
+    m = np.asarray(matrix, dtype=np.uint64)
+    n, w = m.shape
+    state = np.zeros((n, WIDTH), dtype=np.uint64)
+    for i in range(0, w, RATE):
+        chunk = m[:, i : i + RATE]
+        state = state.copy()
+        state[:, : chunk.shape[1]] = chunk
+        state = permute_np(state)
+    return state[:, :OUT]
+
+
+def compress_np(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """TruncatedPermutation batch: (N,8),(N,8) -> (N,8) u64."""
+    return permute_np(np.concatenate([left, right], axis=1))[:, :OUT]

@@ -117,3 +117,50 @@ def sharded_prove_step(mesh, trace, alpha, beta):
 
 def jit_sharded_prove_step(mesh):
     return jax.jit(partial(sharded_prove_step, mesh))
+
+
+# ---------------------------------------------------------------------------
+# Explicit-collective LogUp scan used by the REAL pipeline (permutation.py)
+# ---------------------------------------------------------------------------
+
+
+def logup_phi_sharded(mesh, ents, rss):
+    """Row-sharded LogUp running sum with an explicit cross-device offset
+    exchange - the distributed replacement for rayon_scan
+    (reference permutation.rs:131-145), wired into the real prover
+    (stark/permutation.py) whenever a mesh is active.
+
+    ents: (N, NB, 4) Monty batched entries, row-sharded.
+    rss:  (N, 4) Monty per-row sums, row-sharded.
+    Returns (perm_trace (N, NB+1, 4) row-sharded, cumulative_sum (4,)
+    replicated) - bit-identical to the single-device associative_scan
+    (test_sharded asserts proof-byte equality).
+    """
+    n_dev = mesh.devices.size
+
+    def step(ents_blk, rss_blk):
+        me = jax.lax.axis_index(ROWS_AXIS)
+        local = jax.lax.associative_scan(xf.fadd, rss_blk, axis=0)  # (n/nd, 4)
+        totals = jax.lax.all_gather(local[-1], ROWS_AXIS)  # (nd, 4)
+        # exclusive prefix of earlier devices' totals (mod-p masked sum)
+        mask = (jnp.arange(n_dev) < me).astype(jnp.uint32)[:, None]
+        offset = jnp.zeros((4,), jnp.uint32)
+        for d in range(n_dev):
+            offset = xf.fadd(offset, jnp.where(mask[d] != 0, totals[d], 0))
+        phi = xf.fadd(local, offset[None, :])
+        # global cumulative sum: mod-p sum of ALL device totals (replicated)
+        csum = jnp.zeros((4,), jnp.uint32)
+        for d in range(n_dev):
+            csum = xf.fadd(csum, totals[d])
+        perm = jnp.concatenate([ents_blk, phi[:, None, :]], axis=1)
+        return perm, csum
+
+    spec_rows = P(ROWS_AXIS)
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec_rows, spec_rows),
+        out_specs=(spec_rows, P()),
+        check_rep=False,
+    )
+    return fn(ents, rss)

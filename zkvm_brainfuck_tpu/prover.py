@@ -19,7 +19,11 @@ from .core.executor import execute
 from .core.program import Program
 from .models.machine_def import brainfuck_chips
 from .stark.config import KoalaBearPoseidon2
-from .stark.fri import VerificationFailure
+from .stark.errors import (
+    CpuLogDegreeTooLarge,
+    MissingCpuChip,
+    VerificationFailure,
+)
 from .stark.machine import StarkMachine, StarkProvingKey, StarkVerifyingKey
 from .stark.prover import TpuProver
 from .stark.types import MachineProof
@@ -76,8 +80,6 @@ class BfProvingKey:
     def from_bytes(cls, data: bytes, prover: "BfProver") -> "BfProvingKey":
         import struct
 
-        from .stark.fri import VerificationFailure
-
         if len(data) < 8:
             raise VerificationFailure("truncated proving key bytes")
         n_elf, n_vk = struct.unpack("<II", data[:8])
@@ -119,8 +121,12 @@ class BfProver:
         return record.output_stream
 
     def prove(self, pk: BfProvingKey, stdin: bytes) -> BfCoreProof:
+        from .utils import phases
+
         program = Program.from_source(pk.elf)
+        t_ex = time.time()
         record = execute(program, stdin)
+        phases.add("execute", time.time() - t_ex)
 
         challenger = self.config.challenger()
         # ZKBF_PROFILE=<dir>: capture a jax.profiler trace of the whole prove
@@ -159,12 +165,19 @@ class BfProver:
         )
 
     def verify(self, proof: MachineProof, vk: BfVerifyingKey) -> None:
+        from .stark.errors import MachineVerificationError
+
         sp = proof.shard_proof
         if not sp.contains_cpu():
-            raise VerificationFailure("missing CPU chip in shard")
-        if sp.log_degree_cpu() > MAX_CPU_LOG_DEGREE:
-            raise VerificationFailure(
-                f"CPU log degree {sp.log_degree_cpu()} > {MAX_CPU_LOG_DEGREE}"
-            )
+            raise MissingCpuChip("missing CPU chip in shard")
+        try:
+            if sp.log_degree_cpu() > MAX_CPU_LOG_DEGREE:
+                raise CpuLogDegreeTooLarge(
+                    f"CPU log degree {sp.log_degree_cpu()} > {MAX_CPU_LOG_DEGREE}"
+                )
+        except (KeyError, IndexError, AttributeError, TypeError) as e:
+            raise MachineVerificationError(
+                f"structurally invalid shard proof: {type(e).__name__}: {e}"
+            ) from e
         challenger = self.config.challenger()
         self.machine.verify(vk.vk, proof, challenger)

@@ -38,12 +38,22 @@ class DuplexChallenger:
         self.state: List[int] = [0] * WIDTH
         self.input_buffer: List[int] = []
         self.output_buffer: List[int] = []
+        # Optional transcript log: when a list, every observe/sample appends
+        # ["observe"|"sample", value].  The golden-transcript fixture
+        # (tests/golden/) freezes this stream for a fixed proof - the
+        # artifact a Rust-side cross-check consumes, and a tripwire for any
+        # accidental transcript reorder (SURVEY.md section 7 contract).
+        self.record = None
+
+    def start_recording(self):
+        self.record = []
 
     def clone(self) -> "DuplexChallenger":
         c = DuplexChallenger()
         c.state = list(self.state)
         c.input_buffer = list(self.input_buffer)
         c.output_buffer = list(self.output_buffer)
+        # the record is deliberately NOT cloned (it is a debug artifact)
         return c
 
     def _duplexing(self):
@@ -56,6 +66,8 @@ class DuplexChallenger:
 
     def observe(self, value: int):
         value = int(value) % f.P
+        if self.record is not None:
+            self.record.append(["observe", value])
         self.output_buffer.clear()
         self.input_buffer.append(value)
         if len(self.input_buffer) == RATE:
@@ -72,7 +84,10 @@ class DuplexChallenger:
     def sample(self) -> int:
         if self.input_buffer or not self.output_buffer:
             self._duplexing()
-        return self.output_buffer.pop()
+        v = self.output_buffer.pop()
+        if self.record is not None:
+            self.record.append(["sample", v])
+        return v
 
     def sample_ext(self) -> tuple:
         """EF4 element, coefficients (c0, c1, c2, c3), canonical ints."""

@@ -55,8 +55,9 @@ class StarkVerifyingKey:
             challenger.observe(0)
 
 
-class MachineVerificationError(Exception):
-    pass
+# Typed taxonomy lives in errors.py; re-exported here for reference parity
+# (machine.rs:391-416 defines MachineVerificationError in the machine module).
+from .errors import MachineVerificationError, VerificationFailure  # noqa: E402
 
 
 class StarkMachine:
@@ -131,11 +132,22 @@ class StarkMachine:
     # -- verification ------------------------------------------------------
 
     def verify(self, vk: StarkVerifyingKey, proof, challenger: DuplexChallenger):
+        """Raises a typed `VerificationFailure` subclass on rejection; any
+        structural malformation (bad orderings, missing fields) that surfaces
+        as a non-verification exception is wrapped in
+        `MachineVerificationError` (machine.rs InvalidShardProof)."""
         from .verifier import verify_shard
 
         vk.observe_into(challenger)
-        chips = self.shard_chips_ordered(proof.shard_proof.chip_ordering)
-        verify_shard(self.config, vk, chips, challenger, proof.shard_proof)
+        try:
+            chips = self.shard_chips_ordered(proof.shard_proof.chip_ordering)
+            verify_shard(self.config, vk, chips, challenger, proof.shard_proof)
+        except VerificationFailure:
+            raise
+        except (KeyError, IndexError, AttributeError, TypeError, ValueError) as e:
+            raise MachineVerificationError(
+                f"structurally invalid shard proof: {type(e).__name__}: {e}"
+            ) from e
 
     # -- debug -------------------------------------------------------------
 

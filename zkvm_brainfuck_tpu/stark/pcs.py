@@ -32,7 +32,8 @@ from ..ops.field import GENERATOR, P
 from . import ef_host as efh
 from .challenger import DuplexChallenger
 from .domains import Domain
-from .fri import FriProof, VerificationFailure, fri_check_query, fri_prove, fri_verify_transcript
+from .errors import InvalidOpeningArgument, OpeningShapeError, VerificationFailure
+from .fri import FriProof, fri_prove, fri_verify_transcript
 
 LOG_BLOWUP = 1
 
@@ -410,7 +411,10 @@ def pcs_open(
             ]
             off += w
 
-    _log.debug("open: eval values in %.3fs", _time.time() - _t0); _t0 = _time.time()
+    _log.debug("open: eval values in %.3fs", _time.time() - _t0)
+    from ..utils import phases as _phases
+
+    _phases.add("open_eval", _time.time() - _t0); _t0 = _time.time()
 
     if free_after_use:
         for r, (data, _pts) in enumerate(rounds):
@@ -460,7 +464,8 @@ def pcs_open(
         pts_args,
     )
     ro: Dict[int, tuple] = {log_h: xe.from_array(v) for log_h, v in ro_arrays.items()}
-    _log.debug("open: reduced openings in %.3fs", _time.time() - _t0); _t0 = _time.time()
+    _log.debug("open: reduced openings in %.3fs", _time.time() - _t0)
+    _phases.add("reduced_open", _time.time() - _t0); _t0 = _time.time()
 
     # 4. FRI.
     fri_proof, indices = fri_prove(ro, challenger, LOG_BLOWUP, num_queries, pow_bits)
@@ -504,6 +509,7 @@ def pcs_open(
         query_input_openings.append(per_q)
 
     _log.debug("open: query openings in %.3fs", _time.time() - _t0)
+    _phases.add("query_open", _time.time() - _t0)
     return opened_values, PcsProof(fri=fri_proof, query_input_openings=query_input_openings)
 
 
@@ -596,62 +602,107 @@ def pcs_verify(
                 per_h[lh] = per_h.get(lh, 0) + len(ys)
     alpha_pows = _ef_powers_host(alpha, max(per_h.values()) if per_h else 1)
 
-    # 3. Per-query checks.
-    for q, index in enumerate(indices):
-        input_openings = proof.query_input_openings[q]
-        if len(input_openings) != len(rounds):
-            raise VerificationFailure("wrong number of round openings")
+    # 3. Per-query checks, vectorized over ALL queries at once (the scalar
+    # per-query walk - `mk.verify_batch` + `fri_check_query` - is kept as the
+    # semantic reference and differential-test target; 84 scalar walks cost
+    # ~7.6 s at 2^18, this costs ~0.1 s).
+    if len(proof.query_input_openings) != num_queries or len(
+        proof.fri.query_commit_openings
+    ) != num_queries:
+        raise OpeningShapeError("wrong number of query openings")
+    for q in range(num_queries):
+        if len(proof.query_input_openings[q]) != len(rounds):
+            raise OpeningShapeError("wrong number of round openings")
 
-        # Verify batch Merkle proofs and collect opened rows per matrix.
-        rows_by_round = []
-        for (root, mats), opening in zip(rounds, input_openings):
-            log_batch = max(d.log_n for d, _ in mats) + LOG_BLOWUP
-            dims = [(1 << (d.log_n + LOG_BLOWUP), len(_first_ys(pts))) for d, pts in mats]
-            idx_b = index >> (log_global - log_batch)
-            ok = mk.verify_batch(
-                root,
-                dims,
-                idx_b,
-                [list(r) for r in opening.opened_rows],
-                opening.proof,
+    idx_arr = np.asarray(indices, dtype=np.int64)
+    u64p = np.uint64(P)
+
+    # 3a. Input-batch Merkle proofs: one vectorized walk per round.
+    rows_by_round: List[List[np.ndarray]] = []
+    for r, (root, mats) in enumerate(rounds):
+        log_batch = max(d.log_n for d, _ in mats) + LOG_BLOWUP
+        dims = [(1 << (d.log_n + LOG_BLOWUP), len(_first_ys(pts))) for d, pts in mats]
+        try:
+            rows_mats = [
+                np.stack(
+                    [
+                        np.asarray(
+                            proof.query_input_openings[q][r].opened_rows[m],
+                            dtype=np.uint64,
+                        )
+                        for q in range(num_queries)
+                    ]
+                )
+                for m in range(len(mats))
+            ]
+            paths = np.stack(
+                [
+                    np.asarray(proof.query_input_openings[q][r].proof, dtype=np.uint64)
+                    for q in range(num_queries)
+                ]
             )
-            if not ok:
-                raise VerificationFailure(f"query {q}: bad input Merkle proof")
-            rows_by_round.append(opening.opened_rows)
+        except (ValueError, IndexError) as err:
+            raise OpeningShapeError(f"malformed input openings: {err}") from err
+        for (h, w), rm in zip(dims, rows_mats):
+            if rm.shape != (num_queries, w):
+                raise OpeningShapeError("opened row width mismatch")
+        idx_b = idx_arr >> (log_global - log_batch)
+        ok = mk.verify_batch_np(root, dims, idx_b, rows_mats, paths)
+        if not ok.all():
+            raise InvalidOpeningArgument(
+                f"query {int(np.argmin(ok))}: bad input Merkle proof"
+            )
+        rows_by_round.append(rows_mats)
 
-        # Reconstruct reduced openings per height at this query point.
-        # Alpha-power counters per (height, point), matching the prover.
-        ro_val: Dict[int, tuple] = {}
-        counters: Dict[tuple, int] = {}
-        inv_xz_cache: Dict[tuple, tuple] = {}
-        for (root, mats), rows in zip(rounds, rows_by_round):
-            for (domain, pts), row in zip(mats, rows):
-                log_h = domain.log_n + LOG_BLOWUP
-                idx_h = index >> (log_global - log_h)
-                x = _lde_points_host(log_h)[nt.bit_reversal_perm(log_h)[idx_h]]
-                ro_val.setdefault(log_h, efh.ZERO)
-                for z, ys in pts:
-                    c0 = counters.get((log_h, z), 0)
-                    ck = (log_h, z, int(x))
-                    if ck not in inv_xz_cache:
-                        inv_xz_cache[ck] = efh.inv(efh.add_base(efh.neg(z), int(x)))
-                    inv_xz = inv_xz_cache[ck]
-                    acc = efh.ZERO
-                    for k, y in enumerate(ys):
-                        diff = efh.add_base(efh.neg(y), int(row[k]))
-                        acc = efh.add(acc, efh.mul(alpha_pows[c0 + k], diff))
-                    ro_val[log_h] = efh.add(ro_val[log_h], efh.mul(acc, inv_xz))
-                    counters[(log_h, z)] = c0 + len(ys)
+    # 3b. Reduced openings per height at every query point, vectorized.
+    # Alpha-power counters per (height, point), matching the prover.
+    ro_val: Dict[int, np.ndarray] = {}
+    counters: Dict[tuple, int] = {}
+    inv_xz_cache: Dict[tuple, np.ndarray] = {}
+    x_cache: Dict[int, np.ndarray] = {}
+    alpha_pows_arr = np.asarray(alpha_pows, dtype=np.uint64)  # (A+1, 4)
+    for (root, mats), rows in zip(rounds, rows_by_round):
+        for (domain, pts), row in zip(mats, rows):
+            log_h = domain.log_n + LOG_BLOWUP
+            if log_h not in x_cache:
+                idx_h = idx_arr >> (log_global - log_h)
+                x_cache[log_h] = np.asarray(
+                    _lde_points_host(log_h), dtype=np.uint64
+                )[nt.bit_reversal_perm(log_h)[idx_h]]
+            x = x_cache[log_h]  # (Q,)
+            ro_val.setdefault(log_h, np.zeros((num_queries, 4), dtype=np.uint64))
+            row64 = row % u64p  # (Q, W)
+            for z, ys in pts:
+                c0 = counters.get((log_h, z), 0)
+                if len(ys) == 0:
+                    continue
+                ck = (log_h, z)
+                if ck not in inv_xz_cache:
+                    # inv(x - z) per query
+                    xz = np.broadcast_to(
+                        (u64p - np.asarray(z, dtype=np.uint64) % u64p) % u64p,
+                        (num_queries, 4),
+                    ).copy()
+                    xz[:, 0] = (xz[:, 0] + x) % u64p
+                    inv_xz_cache[ck] = efh.v_inv(xz)
+                inv_xz = inv_xz_cache[ck]
+                if len(ys) != row64.shape[1]:
+                    raise OpeningShapeError("opened value count mismatch")
+                ys_arr = np.asarray(ys, dtype=np.uint64) % u64p  # (W, 4)
+                diff = np.broadcast_to(
+                    (u64p - ys_arr) % u64p, (num_queries,) + ys_arr.shape
+                ).copy()  # (Q, W, 4)
+                diff[:, :, 0] = (diff[:, :, 0] + row64) % u64p
+                ap = alpha_pows_arr[c0 : c0 + len(ys)]  # (W, 4)
+                prod = efh.v_mul(ap[None, :, :], diff)  # (Q, W, 4)
+                acc = prod.sum(axis=1, dtype=np.uint64) % u64p  # (Q, 4)
+                ro_val[log_h] = (ro_val[log_h] + efh.v_mul(acc, inv_xz)) % u64p
+                counters[(log_h, z)] = c0 + len(ys)
 
-        fri_check_query(
-            proof.fri,
-            q,
-            index,
-            betas,
-            log_global,
-            LOG_BLOWUP,
-            lambda lh: ro_val.get(lh),
-        )
+    # 3c. FRI fold chains, vectorized.
+    from .fri import fri_check_queries_np
+
+    fri_check_queries_np(proof.fri, indices, betas, log_global, LOG_BLOWUP, ro_val)
 
 
 def _first_ys(pts):

@@ -156,6 +156,18 @@ def generate_permutation_trace(chip: Chip, prep, main, alpha, beta_host):
     entries, row_sum = fn(chunks, alpha, bpows)
 
     nb = entries.shape[1]
+    # On a mesh, the running sum uses the EXPLICIT-collective scan (local
+    # inclusive scan + all_gather'd per-device offsets,
+    # parallel/sharded.logup_phi_sharded) instead of relying on GSPMD's
+    # decomposition of associative_scan - bit-identical results
+    # (tests/test_sharded.py asserts proof-byte equality).
+    from ..parallel.mesh import current_mesh
+
+    mesh = current_mesh()
+    if mesh is not None and pad == 0 and n % mesh.devices.size == 0:
+        from ..parallel.sharded import logup_phi_sharded
+
+        return _phi_sharded_call(mesh, entries, row_sum)
     return _phi_program(n, nb)(entries, row_sum)
 
 
@@ -177,8 +189,27 @@ def _perm_program(chip: Chip, n_chunks: int, has_prep: bool):
             _, (ents, rss) = jax.lax.scan(body, None, chunks)
             return ents.reshape(-1, *ents.shape[2:]), rss.reshape(-1, 4)
 
-        _PERM_JITS[key] = jit_aot(("perm",) + key, impl)
+        _PERM_JITS[key] = jit_aot(
+            ("perm",) + key, impl, deps=("models", "stark.builder")
+        )
     return _PERM_JITS[key]
+
+
+def _phi_sharded_call(mesh, entries, row_sum):
+    """jit-wrapped explicit-collective phi (cached per mesh + shape)."""
+    from ..parallel.sharded import logup_phi_sharded
+
+    key = (
+        "phi_sharded",
+        tuple(d.id for d in mesh.devices.flat),
+        tuple(int(x) for x in entries.shape),
+    )
+    fn = _PHI_JITS.get(key)
+    if fn is None:
+        import functools
+
+        fn = _PHI_JITS[key] = jax.jit(functools.partial(logup_phi_sharded, mesh))
+    return fn(entries, row_sum)
 
 
 def _phi_program(n: int, nb: int):

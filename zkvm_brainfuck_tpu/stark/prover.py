@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.program import Program
+from ..utils import phases
 from ..core.record import ExecutionRecord
 from ..ops import field as xf
 from .challenger import DuplexChallenger
@@ -142,7 +143,9 @@ class MachineProver:
     ) -> MachineProof:
         pk.observe_into(challenger)
         t0 = time.time()
+        t_ph = time.time()
         named_traces = self.generate_traces(record)
+        phases.add("trace_gen", time.time() - t_ph)
 
         named_sorted = sorted(named_traces, key=lambda t: (-t[1].shape[0], t[0]))
         chips_sorted = self.machine.shard_chips_ordered(
@@ -154,7 +157,9 @@ class MachineProver:
             [t.shape[0].bit_length() - 1 for _, t in named_sorted],
         )
 
+        t_ph = time.time()
         shard_data = self.commit(named_traces)
+        phases.add("main_commit", time.time() - t_ph)
         proof = self.open(pk, shard_data, challenger)
         log.debug("prove_shard in %.3fs", time.time() - t0)
         return MachineProof(shard_proof=proof)
@@ -234,16 +239,24 @@ class TpuProver(MachineProver):
             for c in fetch_all([xf.from_monty(c) for c in cumulative_sums])
         ]
         log.debug("generated permutation traces in %.3fs", time.time() - t0)
+        phases.add("perm_trace", time.time() - t0)
 
+        trace_widths = [t.shape[1] for t in traces]
         for i, chip in enumerate(chips):
             log.debug(
                 "%-12s | Main Cols = %3d | Pre Cols = %3d | Perm Cols = %3d | Rows = %7d",
                 chip.name,
-                traces[i].shape[1],
+                trace_widths[i],
                 chip.preprocessed_width,
                 perm_traces[i].shape[1] * 4,
                 degrees[i],
             )
+
+        # The main eval matrices are no longer read (quotient uses the LDEs,
+        # openings use the coefficients): free them now - at 2^22 rows they
+        # are ~1.5 GB of HBM the rest of the pipeline should have.
+        traces = None
+        shard_data["traces"] = None
 
         t0 = time.time()
         perm_flat = [p.reshape(p.shape[0], -1) for p in perm_traces]
@@ -251,6 +264,7 @@ class TpuProver(MachineProver):
             [(d, p) for d, p in zip(trace_domains, perm_flat)]
         )
         log.debug("committed permutation traces in %.3fs", time.time() - t0)
+        phases.add("perm_commit", time.time() - t0)
 
         log.debug("perm root: %s", [int(x) for x in perm_root])
         log.debug("cumulative sums: %s", cumulative_sums_host)
@@ -293,12 +307,14 @@ class TpuProver(MachineProver):
                 quotient_mats.append(ch)
             chunk_counts.append(1 << log_qd)
         log.debug("computed quotient values in %.3fs", time.time() - t0)
+        phases.add("quotient", time.time() - t0)
 
         t0 = time.time()
         quotient_root, quotient_data = pcs_commit(
             list(zip(quotient_domains_flat, quotient_mats))
         )
         log.debug("committed quotient in %.3fs", time.time() - t0)
+        phases.add("quotient_commit", time.time() - t0)
         log.debug("quotient root: %s", [int(x) for x in quotient_root])
         challenger.observe_commitment([int(x) for x in quotient_root])
 
@@ -331,6 +347,7 @@ class TpuProver(MachineProver):
             free_after_use=[False, True, True, True],
         )
         log.debug("opened multi batches in %.3fs", time.time() - t0)
+        phases.add("pcs_open_total", time.time() - t0)
 
         prep_vals, main_vals, perm_vals, quot_vals = opened
 
@@ -350,7 +367,7 @@ class TpuProver(MachineProver):
                 )
             else:
                 prep_open = AirOpenedValues(local=[], next=[])
-            main_open = air_vals(main_vals[i], chip.local_only, traces[i].shape[1])
+            main_open = air_vals(main_vals[i], chip.local_only, trace_widths[i])
             perm_open = AirOpenedValues(local=perm_vals[i][0], next=perm_vals[i][1])
             chunks = []
             for _ in range(chunk_counts[i]):

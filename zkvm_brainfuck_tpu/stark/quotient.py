@@ -206,7 +206,13 @@ def _quotient_program(chip_key, n_chunks: int, next_step: int, has_prep: bool):
 
     from ..utils.aot import jit_aot
 
-    return jit_aot(("quotient", name, n_chunks, next_step, has_prep), impl)
+    return jit_aot(
+        ("quotient", name, n_chunks, next_step, has_prep),
+        impl,
+        # the traced graph runs the captured chip's eval (models/) lowered
+        # through the device folder (stark/builder.py)
+        deps=("models", "stark.builder"),
+    )
 
 
 def warm_quotient(chip, trace_log_n: int, prep_width) -> None:

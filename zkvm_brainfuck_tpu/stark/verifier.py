@@ -18,7 +18,12 @@ from .builder import HostEFBackend, NumericBuilder, V
 from .challenger import DuplexChallenger
 from .chip import Chip
 from .domains import Domain
-from .fri import VerificationFailure
+from .errors import (
+    CumulativeSumsError,
+    OodEvaluationMismatch,
+    OpeningShapeError,
+    VerificationFailure,
+)
 from .machine import StarkVerifyingKey
 from .pcs import pcs_verify
 from .permutation import eval_permutation_constraints
@@ -33,14 +38,14 @@ def verify_shard(
     proof: ShardProof,
 ):
     if len(chips) != len(proof.opened_values):
-        raise VerificationFailure("chip opening length mismatch")
+        raise OpeningShapeError("chip opening length mismatch")
 
     # Byte-lookup multiplicity overflow guard (verifier.rs:48-61).
     total = 0
     for chip, vals in zip(chips, proof.opened_values):
         total += chip.num_sent_byte_lookups() << vals.log_degree
     if total > P:
-        raise VerificationFailure("byte multiplicities overflow")
+        raise CumulativeSumsError("byte multiplicities overflow")
 
     log_degrees = [v.log_degree for v in proof.opened_values]
     trace_domains = [Domain(ld, 1) for ld in log_degrees]
@@ -51,7 +56,7 @@ def verify_shard(
     for chip, vals in zip(chips, proof.opened_values):
         challenger.observe_slice(list(vals.cumulative_sum))
         if chip.num_interactions == 0 and vals.cumulative_sum != efh.ZERO:
-            raise VerificationFailure("nonzero cumulative sum without lookups")
+            raise CumulativeSumsError("nonzero cumulative sum without lookups")
     alpha = challenger.sample_ext()
     challenger.observe_commitment(proof.commitment.quotient_commit)
     zeta = challenger.sample_ext()
@@ -59,16 +64,16 @@ def verify_shard(
     # -- shape checks ------------------------------------------------------
     for chip, vals in zip(chips, proof.opened_values):
         if len(vals.main.local) != chip.width or len(vals.main.next) != chip.width:
-            raise VerificationFailure(f"{chip.name}: main width mismatch")
+            raise OpeningShapeError(f"{chip.name}: main width mismatch")
         if len(vals.preprocessed.local) != chip.preprocessed_width:
-            raise VerificationFailure(f"{chip.name}: preprocessed width mismatch")
+            raise OpeningShapeError(f"{chip.name}: preprocessed width mismatch")
         if len(vals.permutation.local) != chip.permutation_width * 4:
-            raise VerificationFailure(f"{chip.name}: permutation width mismatch")
+            raise OpeningShapeError(f"{chip.name}: permutation width mismatch")
         if len(vals.quotient) != chip.quotient_width:
-            raise VerificationFailure(f"{chip.name}: quotient chunk count mismatch")
+            raise OpeningShapeError(f"{chip.name}: quotient chunk count mismatch")
         for ch in vals.quotient:
             if len(ch) != 4:
-                raise VerificationFailure(f"{chip.name}: quotient chunk width mismatch")
+                raise OpeningShapeError(f"{chip.name}: quotient chunk width mismatch")
 
     # -- PCS rounds --------------------------------------------------------
     prep_mats = []
@@ -76,7 +81,7 @@ def verify_shard(
         # locate this chip's opened values via proof ordering
         i = proof.chip_ordering.get(name)
         if i is None:
-            raise VerificationFailure(f"preprocessed chip {name} missing from proof")
+            raise OpeningShapeError(f"preprocessed chip {name} missing from proof")
         vals = proof.opened_values[i]
         chip = chips[i]
         if not chip.local_only:
@@ -131,7 +136,7 @@ def verify_shard(
 
     # -- global cumulative sum --------------------------------------------
     if proof.cumulative_sum() != efh.ZERO:
-        raise VerificationFailure("global cumulative sum is not zero")
+        raise CumulativeSumsError("global cumulative sum is not zero")
 
 
 def verify_constraints(
@@ -147,7 +152,7 @@ def verify_constraints(
     folded = eval_constraints_at_point(chip, opening, sels, alpha, perm_challenges)
     quotient = recompute_quotient(opening, qc_domains, zeta)
     if efh.mul(folded, sels["inv_zeroifier"]) != quotient:
-        raise VerificationFailure(f"{chip.name}: OOD evaluation mismatch")
+        raise OodEvaluationMismatch(f"{chip.name}: OOD evaluation mismatch")
 
 
 def eval_constraints_at_point(

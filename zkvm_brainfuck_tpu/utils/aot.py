@@ -17,8 +17,12 @@ cache because the HLO is byte-identical.
 flattens inputs and outputs to flat leaf tuples and persists the output
 treedef in a pickle sidecar next to the StableHLO blob.
 
-Cache keys include the jax version, the backend platform, a hash of this
-package's source tree (any source edit invalidates every entry), and the
+Cache keys include the jax version, the backend platform, a PER-KERNEL source
+version (the hash of the kernel module's static intra-package import closure -
+NOT the whole package, so edits to unrelated modules such as the verifier,
+serializer, prover orchestration, bench, or tests do not invalidate compiled
+kernels; round-3 lesson: a whole-package hash meant the end-of-round snapshot
+commit cold-started every program in the driver's bench), and the
 caller-supplied kernel key (name + shape/static signature).
 
 Disable with ZKBF_AOT=0 (falls back to plain jax.jit).
@@ -26,6 +30,7 @@ Disable with ZKBF_AOT=0 (falls back to plain jax.jit).
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import logging
 import os
@@ -36,7 +41,6 @@ from typing import Callable, Sequence
 log = logging.getLogger("zkbf.aot")
 
 _mem: dict = {}
-_code_version_cache: list = []
 
 
 def enabled() -> bool:
@@ -47,23 +51,130 @@ def _package_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def code_version() -> str:
-    """Hash of every .py source in the package (kernel-semantics version)."""
-    if _code_version_cache:
-        return _code_version_cache[0]
-    h = hashlib.sha256()
+def _pkg_name() -> str:
+    return os.path.basename(_package_root())
+
+
+# -- per-kernel source versioning -------------------------------------------
+#
+# A kernel's compiled artifact depends on the Python that TRACES it: its own
+# module plus every package module reachable through static imports (including
+# deferred in-function imports - ast.walk sees them all).  Call sites whose
+# traced graph additionally captures code from modules they do not import
+# (e.g. the quotient kernel runs chip `eval` methods defined in models/)
+# declare those as explicit `deps`.
+
+_dep_cache: dict = {}
+_closure_cache: dict = {}
+
+
+def _module_path(dotted: str):
+    """Package-relative dotted name -> .py path (module file or pkg __init__)."""
     root = _package_root()
-    files = []
-    for dirpath, _dirnames, filenames in os.walk(root):
-        for fn in filenames:
-            if fn.endswith(".py"):
-                files.append(os.path.join(dirpath, fn))
+    cand = os.path.join(root, *dotted.split("."))
+    if os.path.isfile(cand + ".py"):
+        return cand + ".py"
+    if os.path.isdir(cand):
+        return os.path.join(cand, "__init__.py")
+    return None
+
+
+def _static_deps_of(path: str, mod_parts: tuple):
+    """Package-relative dotted names statically imported by `path`.
+
+    mod_parts: the module's own package path, e.g. ("ops",) for ops/merkle.py.
+    """
+    cached = _dep_cache.get(path)
+    if cached is not None:
+        return cached
+    pkg = _pkg_name()
+    deps = set()
+    try:
+        with open(path, "r") as fh:
+            tree = ast.parse(fh.read(), filename=path)
+    except (OSError, SyntaxError):
+        _dep_cache[path] = frozenset()
+        return frozenset()
+
+    def add(dotted: str, names=()):
+        if _module_path(dotted) is not None:
+            deps.add(dotted)
+        for n in names:
+            sub = f"{dotted}.{n}" if dotted else n
+            if _module_path(sub) is not None:
+                deps.add(sub)
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            if node.level > 0:
+                # relative: resolve against this module's package
+                base = mod_parts[: len(mod_parts) - (node.level - 1)]
+                target = ".".join(base + tuple((node.module or "").split(".") if node.module else ()))
+                add(target.strip("."), [a.name for a in node.names])
+            elif node.module and node.module.split(".")[0] == pkg:
+                target = ".".join(node.module.split(".")[1:])
+                add(target, [a.name for a in node.names])
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                parts = a.name.split(".")
+                if parts[0] == pkg and len(parts) > 1:
+                    add(".".join(parts[1:]))
+    out = frozenset(deps)
+    _dep_cache[path] = out
+    return out
+
+
+def _expand_package(dotted: str):
+    """A package dep (e.g. "models") means every .py under its directory."""
+    root = _package_root()
+    d = os.path.join(root, *dotted.split("."))
+    if os.path.isdir(d):
+        return sorted(
+            os.path.join(d, fn) for fn in os.listdir(d) if fn.endswith(".py")
+        )
+    p = _module_path(dotted)
+    return [p] if p else []
+
+
+def closure_version(roots: tuple) -> str:
+    """Version hash for the import closure of `roots` (package-relative
+    dotted module names).  Always includes this module and data/ constants."""
+    roots = tuple(sorted(set(roots)))
+    cached = _closure_cache.get(roots)
+    if cached is not None:
+        return cached
+    root_dir = _package_root()
+    files = {os.path.abspath(__file__)}
+    data_dir = os.path.join(root_dir, "data")
+    if os.path.isdir(data_dir):
+        files.update(os.path.join(data_dir, fn) for fn in os.listdir(data_dir))
+    todo = []
+    for r in roots:
+        todo.extend(_expand_package(r))
+    seen_mods = set(roots)
+    while todo:
+        path = todo.pop()
+        if path in files:
+            continue
+        files.add(path)
+        rel = os.path.relpath(path, root_dir)
+        mod_parts = tuple(rel[:-3].split(os.sep)[:-1])
+        for dep in _static_deps_of(path, mod_parts):
+            if dep not in seen_mods:
+                seen_mods.add(dep)
+                p = _module_path(dep)
+                if p:
+                    todo.append(p)
+    h = hashlib.sha256()
     for path in sorted(files):
-        h.update(path.encode())
-        with open(path, "rb") as fh:
-            h.update(fh.read())
+        h.update(os.path.relpath(path, root_dir).encode())
+        try:
+            with open(path, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            pass
     v = h.hexdigest()[:16]
-    _code_version_cache.append(v)
+    _closure_cache[roots] = v
     return v
 
 
@@ -73,27 +184,31 @@ def _cache_dir() -> str:
     base = os.environ.get("ZKBF_AOT_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "zkvm_brainfuck_tpu", "export"
     )
-    d = os.path.join(base, jax.__version__, jax.default_backend(), code_version())
+    d = os.path.join(base, jax.__version__, jax.default_backend())
     os.makedirs(d, exist_ok=True)
     return d
 
 
-def _key_digest(key) -> str:
-    return hashlib.sha256(repr(key).encode()).hexdigest()[:32]
+def _key_digest(key, version: str = "") -> str:
+    return hashlib.sha256((repr(key) + "|" + version).encode()).hexdigest()[:32]
 
 
-def aot_compile(key, build: Callable[[], Callable], example_args: Sequence):
+def aot_compile(key, build: Callable[[], Callable], example_args: Sequence, version: str = ""):
     """Return a compiled callable for `build()` specialized to `example_args`.
 
     key: any repr-stable value identifying the kernel (name + shapes + static
     config).  build: zero-arg factory returning the traceable function.
     example_args: the positional args pytree - arrays OR ShapeDtypeStructs
     (the latter for compile-only warm-up).
+    version: source-version string (see closure_version) mixed into the disk
+    digest so cached entries survive edits to unrelated modules and die with
+    edits to their own dependency closure.
 
-    First call per (machine, code version): traces + lowers + serializes the
-    flat StableHLO and the output treedef to disk.  Later processes:
-    deserialize (ms), then XLA-compile via the persistent compilation cache.
-    Within a process the compiled executable is memoized by `key`.
+    First call per (machine, kernel source version): traces + lowers +
+    serializes the flat StableHLO and the output treedef to disk.  Later
+    processes: deserialize (ms), then XLA-compile via the persistent
+    compilation cache.  Within a process the compiled executable is memoized
+    by `key`.
     """
     import jax
 
@@ -110,7 +225,7 @@ def aot_compile(key, build: Callable[[], Callable], example_args: Sequence):
         _mem[full_key] = wrapper
         return wrapper
 
-    digest = _key_digest(key)
+    digest = _key_digest(key, version)
     path = os.path.join(_cache_dir(), digest + ".shlo")
     meta_path = os.path.join(_cache_dir(), digest + ".meta")
     exported = None
@@ -207,11 +322,15 @@ def _key_lock(key) -> threading.Lock:
         return lk
 
 
-def jit_aot(key, impl):
+def jit_aot(key, impl, deps: tuple = ()):
     """Drop-in `jax.jit(impl)` replacement: AOT-compiled on first call using
     the real call arguments as the specialization signature.  The caller's
     `key` must determine every arg shape (callers key their program caches by
     shape signature already).
+
+    deps: extra package-relative dotted module/package names whose source the
+    traced graph depends on beyond `impl`'s own module's import closure (e.g.
+    ("models",) for kernels that run captured chip `eval` code).
 
     `wrapper.warm(*args)` compiles without executing - args may be
     ShapeDtypeStructs, so warm-up allocates NO device buffers.  Per-key
@@ -219,6 +338,10 @@ def jit_aot(key, impl):
     compile instead of duplicating it (compiles release the GIL, so distinct
     keys still compile concurrently)."""
     state = {}
+    pkg = _pkg_name() + "."
+    mod = getattr(impl, "__module__", "") or ""
+    root = mod[len(pkg):] if mod.startswith(pkg) else None
+    roots = tuple(deps) + ((root,) if root else ())
 
     def _ensure(args):
         # When a shard mesh is active, inputs carry NamedShardings that an
@@ -235,7 +358,9 @@ def jit_aot(key, impl):
                 fn = state.get(mkey)
                 if fn is None:
                     if mkey is None:
-                        fn = aot_compile(key, lambda: impl, args)
+                        fn = aot_compile(
+                            key, lambda: impl, args, version=closure_version(roots)
+                        )
                     else:
                         fn = _mesh_jit(impl, mesh)
                     state[mkey] = fn
@@ -245,24 +370,40 @@ def jit_aot(key, impl):
         return _ensure(args)(*args)
 
     def warm(*args):
-        _ensure(args)
+        fn = _ensure(args)
+        w = getattr(fn, "warm", None)
+        if w is not None:
+            w(*args)
 
     wrapper.warm = warm
     return wrapper
 
 
+# Outputs smaller than this stay replicated on the mesh: force-scattering a
+# tiny array (an (8,) root, a (4,) cumulative sum) across 8 devices buys
+# nothing and inserts collectives on the critical path.
+_MESH_MIN_SHARD_ELEMS = 1 << 13
+
+
 def _mesh_jit(impl, mesh):
     """Plain jit for the sharded path.
 
-    Two jobs (vs the single-device AOT path):
+    Jobs (vs the single-device AOT path):
     - constant/aux tables generated on the default device arrive committed to
       ONE device while traces carry a NamedSharding over the mesh - jit
       rejects that mix, so single-device jax.Arrays are re-placed as
       mesh-replicated before the call;
     - XLA's own output-sharding choice may silently replicate big results (the
       classic GSPMD scaling failure, VERDICT r2 item 3), so out_shardings are
-      FORCED: every output whose leading dim divides over the mesh stays
-      row-sharded; everything else is replicated.
+      FORCED: every output whose leading dim divides over the mesh AND is big
+      enough to be worth scattering stays row-sharded; everything else is
+      replicated;
+    - the jitted fn + out_shardings are memoized PER ARG-SHAPE SIGNATURE
+      (a single memo entry would silently reuse the first call's output
+      shardings for different output pytrees);
+    - `.warm()` eval_shapes + constructs the jit (catching tracing errors
+      early).  It does NOT precompile: the XLA executable depends on the real
+      input shardings, which ShapeDtypeStructs do not carry.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec, SingleDeviceSharding
@@ -283,18 +424,41 @@ def _mesh_jit(impl, mesh):
 
     def choose(aval):
         shape = getattr(aval, "shape", ())
-        if len(shape) >= 1 and shape[0] >= n_dev and shape[0] % n_dev == 0:
+        size = 1
+        for d in shape:
+            size *= d
+        if (
+            len(shape) >= 1
+            and shape[0] >= n_dev
+            and shape[0] % n_dev == 0
+            and size >= _MESH_MIN_SHARD_ELEMS
+        ):
             return rows
         return repl
 
-    def wrapper(*args):
-        args = jax.tree.map(replace, args)
-        jfn = state.get("jfn")
+    def _sig(args):
+        leaves, treedef = jax.tree.flatten(args)
+        return (
+            treedef,
+            tuple((tuple(l.shape), str(getattr(l, "dtype", ""))) for l in leaves),
+        )
+
+    def _get_jfn(args):
+        sig = _sig(args)
+        jfn = state.get(sig)
         if jfn is None:
             out_sh = jax.tree.map(choose, jax.eval_shape(impl, *args))
-            jfn = state["jfn"] = jax.jit(impl, out_shardings=out_sh)
-        return jfn(*args)
+            jfn = state[sig] = jax.jit(impl, out_shardings=out_sh)
+        return jfn
 
+    def wrapper(*args):
+        args = jax.tree.map(replace, args)
+        return _get_jfn(args)(*args)
+
+    def warm(*args):
+        _get_jfn(args)
+
+    wrapper.warm = warm
     return wrapper
 
 
