@@ -5,6 +5,9 @@ PY ?= python
 
 test:
 	$(PY) -m pytest tests/ -x -q
+	# MANDATORY: the production-FRI-config e2e (84 queries, 16 PoW bits) -
+	# the only continuous coverage of production opening shapes
+	$(PY) -m pytest tests/test_debug_and_adversarial.py::test_full_production_fri_config -x -q
 
 test-fast:
 	$(PY) -m pytest tests/ -x -q --ignore=tests/test_e2e.py --ignore=tests/test_sharded.py --ignore=tests/test_debug_and_adversarial.py

@@ -127,18 +127,61 @@ def run_ladder(rungs, deadline: float) -> None:
     log(f"ladder {rungs}: devices {jax.devices()}")
     client = ProverClient()
 
-    for rung in rungs:
+    # One retry pass for rungs that hit RESOURCE_EXHAUSTED: the tunneled
+    # chip's free HBM fluctuates with other tenants (round-4 finding), so a
+    # rung that OOMs now may fit after the smaller rungs complete.
+    queue = list(rungs)
+    retried = set()
+    while queue:
+        rung = queue.pop(0)
         remaining = deadline - time.time()
         need = MIN_RUNG_COST.get(rung, 120)
         if remaining < need:
             log(f"rung 2^{rung}: skipped ({remaining:.0f}s left < {need}s minimum)")
             continue
-        # announce so the parent can apply a per-rung deadline
-        print(json.dumps({"rung_start": rung}), flush=True)
-        guest = bench_guest(rung)
-        log(f"rung 2^{rung}: setup")
-        pk, vk = client.setup(guest)
-        log(f"rung 2^{rung}: prove (cold)")
+        try:
+            run_one_rung(client, rung, deadline, device)
+        except Exception as e:
+            log(f"rung 2^{rung}: FAILED ({type(e).__name__}: {str(e)[:200]})")
+            if "RESOURCE_EXHAUSTED" in str(e) and rung not in retried:
+                retried.add(rung)
+                queue.append(rung)  # retry after the smaller rungs
+                log(f"rung 2^{rung}: queued for one retry at the end")
+
+
+def run_one_rung(client, rung, deadline, device) -> None:
+    from zkvm_brainfuck_tpu.utils import phases
+
+    # announce so the parent can apply a per-rung deadline
+    print(json.dumps({"rung_start": rung}), flush=True)
+    guest = bench_guest(rung)
+    log(f"rung 2^{rung}: setup")
+    pk, vk = client.setup(guest)
+    log(f"rung 2^{rung}: prove (cold)")
+    ph = {}
+    t1 = time.time()
+    with phases.collect(ph):
+        proof = client.prove(pk).run()
+    elapsed = time.time() - t1
+    t2 = time.time()
+    client.verify(proof, vk)
+    tver = time.time() - t2
+    cycles = proof.proof.cycles
+    log(f"rung 2^{rung}: {cycles} cycles in {elapsed:.1f}s cold, verify {tver:.1f}s")
+    emit(cycles, elapsed, "cold", {
+        "proof_bytes": len(proof.proof.proof.to_bytes()),
+        "verify_s": round(tver, 2),
+        "device": device,
+        "phases": {k: round(v, 3) for k, v in ph.items()},
+    })
+    # Two warm iterations: the first still absorbs stragglers (async
+    # dispatches, host GC); the second is the true steady state.  Each is
+    # emitted, so the parent's "best" pick prefers the fastest steady.
+    for it in range(2):
+        if deadline - time.time() < 30:
+            log(f"rung 2^{rung}: out of budget for warm iter {it + 1}")
+            break
+        log(f"rung 2^{rung}: prove (warm {it + 1})")
         ph = {}
         t1 = time.time()
         with phases.collect(ph):
@@ -147,39 +190,15 @@ def run_ladder(rungs, deadline: float) -> None:
         t2 = time.time()
         client.verify(proof, vk)
         tver = time.time() - t2
-        cycles = proof.proof.cycles
-        log(f"rung 2^{rung}: {cycles} cycles in {elapsed:.1f}s cold, verify {tver:.1f}s")
-        emit(cycles, elapsed, "cold", {
+        log(f"rung 2^{rung}: warm {elapsed:.1f}s, verify {tver:.1f}s")
+        emit(proof.proof.cycles, elapsed, "steady", {
             "proof_bytes": len(proof.proof.proof.to_bytes()),
             "verify_s": round(tver, 2),
             "device": device,
             "phases": {k: round(v, 3) for k, v in ph.items()},
         })
-        # Two warm iterations: the first still absorbs stragglers (async
-        # dispatches, host GC); the second is the true steady state.  Each is
-        # emitted, so the parent's "best" pick prefers the fastest steady.
-        for it in range(2):
-            if deadline - time.time() < 30:
-                log(f"rung 2^{rung}: out of budget for warm iter {it + 1}")
-                break
-            log(f"rung 2^{rung}: prove (warm {it + 1})")
-            ph = {}
-            t1 = time.time()
-            with phases.collect(ph):
-                proof = client.prove(pk).run()
-            elapsed = time.time() - t1
-            t2 = time.time()
-            client.verify(proof, vk)
-            tver = time.time() - t2
-            log(f"rung 2^{rung}: warm {elapsed:.1f}s, verify {tver:.1f}s")
-            emit(proof.proof.cycles, elapsed, "steady", {
-                "proof_bytes": len(proof.proof.proof.to_bytes()),
-                "verify_s": round(tver, 2),
-                "device": device,
-                "phases": {k: round(v, 3) for k, v in ph.items()},
-            })
-        # Drop this rung's device buffers before the next (smaller) rung.
-        del pk, vk, proof
+    # Drop this rung's device buffers before the next (smaller) rung.
+    del pk, vk, proof
 
 
 # ---------------------------------------------------------------------------

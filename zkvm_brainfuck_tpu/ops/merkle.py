@@ -516,3 +516,21 @@ def verify_batch_np(
             curr = p2.compress_np(curr, injected)
     root_v = np.asarray([int(x) for x in root], dtype=np.uint64)
     return (curr == root_v[None, :]).all(axis=1)
+
+
+def digest_layer_bitrev_scan(mats: Sequence[jnp.ndarray], rev: jnp.ndarray) -> jnp.ndarray:
+    """Digest layer of bit-reversed rows WITHOUT materializing reversed
+    copies of the matrices: (H, W_i) natural-order Monty matrices (equal H)
+    + rev (H,) device permutation -> (H, 8) committed-order digests.
+
+    Row hashing commutes with row permutation, so hash in NATURAL order and
+    permute the (H, 8) digest layer: digest_committed[i] =
+    hash(rows[rev[i]]) = hash_natural[rev][i].  The round-4 memory lesson:
+    `lde[rev]` inside the commit program materialized a second copy of every
+    LDE (~2 GB at 2^22 rows) as a program temp; permuting digests costs one
+    (H, 8) copy instead (16x smaller than a W=128 matrix copy).
+    """
+    h = int(mats[0].shape[0])
+    for m in mats:
+        assert int(m.shape[0]) == h
+    return sponge_rows_traced(mats)[rev]

@@ -22,7 +22,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map_new
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        # jax >= 0.8: check_rep was renamed check_vma
+        return _shard_map_new(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import ext as xe
 from ..ops import field as xf

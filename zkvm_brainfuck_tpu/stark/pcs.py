@@ -17,7 +17,7 @@ reconstruction at each query point, fold chain, final constant.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -41,13 +41,15 @@ LOG_BLOWUP = 1
 @dataclass
 class PcsProverData:
     domains: List[Domain]
-    coeffs: List[jnp.ndarray]  # coefficient matrices (n, W), Monty
     ldes: List[jnp.ndarray]  # LDE evals over GENERATOR*H_2n, natural, Monty
     tree: mk.MerkleTree  # commits bit-reversed LDE rows
 
-    # NOTE: the original eval matrices are NOT retained - openings use
-    # `coeffs`, quotient/FRI use `ldes` (round-2 lesson: holding a fourth
-    # copy of every committed matrix through pcs_open doubled peak HBM).
+    # NOTE: neither the original eval matrices nor coefficient matrices are
+    # retained: quotient/FRI/query openings read the LDEs, and opened values
+    # are evaluated BARYCENTRICALLY from the LDEs (_open_eval_program) - at
+    # 2^22 rows the coefficient copies alone were ~3 GB of HBM residency
+    # (round-4 capacity lesson: the tunneled chip's free HBM fluctuates
+    # with other tenants, so residency is survival, not just speed).
 
     @property
     def root(self) -> np.ndarray:
@@ -99,35 +101,47 @@ def _lde_traced(evals, log_n: int, aux: dict, spkey):
     return c, lde
 
 
-@lru_cache(maxsize=None)
-def _commit_program(sig: tuple):
-    """One fused program per batch signature: all iNTTs, LDEs, bit-reversed
-    leaf hashing and the full Merkle level walk in a single compile.
+# The commit is split into one program PER HEIGHT GROUP (all matrices whose
+# LDEs share a height: iNTT -> LDE -> chunk-scanned bit-reversed digest
+# layer) plus one small tree-walk program over the digest layers.  Round-4
+# memory lesson: a single fused program's working set at 2^22 rows (~7 GB
+# with the bit-reversed gather temps) exceeded the chip's fast capacity;
+# the split bounds each program's peak to ~inputs+outputs while the extra
+# dispatches stay asynchronous (no added host round trips).
 
-    sig: tuple of (log_n, shift, width) per matrix, batch order.
-    """
-    heights = tuple(1 << (ln + LOG_BLOWUP) for ln, _, _ in sig)
-    plan = mk.make_plan(heights)
+
+@lru_cache(maxsize=None)
+def _group_commit_program(gsig: tuple):
+    """Per-height-group program.  gsig: tuple of (log_n, shift, width), all
+    with equal log_n + LOG_BLOWUP.  Returns (coeffs..., ldes..., digest)."""
+    log_lde = gsig[0][0] + LOG_BLOWUP
 
     def impl(mats, aux):
-        coeffs, ldes = [], []
-        brev_by_height: Dict[int, list] = {}
-        for i, ((log_n, shift, _w), e) in enumerate(zip(sig, mats)):
-            c, lde = _lde_traced(e, log_n, aux, (shift, log_n))
-            coeffs.append(c)
-            ldes.append(lde)
-            log_lde = log_n + LOG_BLOWUP
-            brev = lde[aux["rev"][log_lde]]
-            brev_by_height.setdefault(1 << log_lde, []).append(brev)
-        digests = {
-            h: mk.sponge_rows_traced(ms) for h, ms in brev_by_height.items()
-        }
-        flat = mk.build_tree_traced(plan, digests)
-        return tuple(coeffs), tuple(ldes), flat, mk.root_of(plan, flat)
+        ldes = []
+        for (log_n, shift, _w), e in zip(gsig, mats):
+            _c, lde = _lde_traced(e, log_n, aux, (shift, log_n))
+            ldes.append(lde)  # the coefficients are a program temp only
+        digest = mk.digest_layer_bitrev_scan(ldes, aux["rev"][log_lde])
+        return tuple(ldes), digest
 
     from ..utils.aot import jit_aot
 
-    return plan, jit_aot(("commit", sig), impl)
+    return jit_aot(("commitg", gsig), impl)
+
+
+@lru_cache(maxsize=None)
+def _tree_program(heights: tuple):
+    """Tree walk over per-height digest layers -> (flat, root).
+    heights: per matrix (batch order), for the inject schedule."""
+    plan = mk.make_plan(heights)
+
+    def impl(digests_by_height):
+        flat = mk.build_tree_traced(plan, digests_by_height)
+        return flat, mk.root_of(plan, flat)
+
+    from ..utils.aot import jit_aot
+
+    return plan, jit_aot(("tree", heights), impl)
 
 
 def _commit_aux(sig: tuple) -> dict:
@@ -144,17 +158,31 @@ def _commit_aux(sig: tuple) -> dict:
     return aux
 
 
+def _group_sigs(sig: tuple):
+    """Group (index, matsig) by LDE height, preserving batch order within
+    each group (the digest layer hashes same-height rows in batch order)."""
+    groups: Dict[int, list] = {}
+    for i, ms in enumerate(sig):
+        groups.setdefault(ms[0] + LOG_BLOWUP, []).append((i, ms))
+    return sorted(groups.items(), key=lambda kv: -kv[0])
+
+
 def warm_commit(sig: tuple) -> None:
-    """Compile (without executing) the fused commit program for `sig`."""
+    """Compile (without executing) the commit programs for `sig`."""
     from ..utils.aot import sds
 
-    plan, fn = _commit_program(sig)
-    mats = tuple(sds((1 << ln, w)) for ln, _s, w in sig)
-    fn.warm(mats, _commit_aux(sig))
+    heights = tuple(1 << (ln + LOG_BLOWUP) for ln, _, _ in sig)
+    for log_lde, members in _group_sigs(sig):
+        gsig = tuple(ms for _i, ms in members)
+        mats = tuple(sds((1 << ln, w)) for ln, _s, w in gsig)
+        _group_commit_program(gsig).warm(mats, _commit_aux(gsig))
+    _plan, tree_fn = _tree_program(heights)
+    tree_fn.warm({1 << ll: sds((1 << ll, 8)) for ll, _m in _group_sigs(sig)})
 
 
 def pcs_commit(domains_and_evals: Sequence[Tuple[Domain, jnp.ndarray]]) -> Tuple[np.ndarray, PcsProverData]:
-    """Commit a batch of (2^log_n, W) Monty eval matrices: ONE compiled program."""
+    """Commit a batch of (2^log_n, W) Monty eval matrices: one program per
+    LDE-height group + one tree-walk program (all dispatches asynchronous)."""
     domains = [d for d, _ in domains_and_evals]
     evals = [e for _, e in domains_and_evals]
     for d, e in domains_and_evals:
@@ -162,56 +190,35 @@ def pcs_commit(domains_and_evals: Sequence[Tuple[Domain, jnp.ndarray]]) -> Tuple
     sig = tuple(
         (d.log_n, d.shift, int(e.shape[1])) for d, e in domains_and_evals
     )
-    plan, fn = _commit_program(sig)
-    coeffs, ldes, flat, root_dev = fn(tuple(evals), _commit_aux(sig))
+    heights = tuple(1 << (ln + LOG_BLOWUP) for ln, _, _ in sig)
+
+    ldes: list = [None] * len(sig)
+    digests: Dict[int, jnp.ndarray] = {}
+    for log_lde, members in _group_sigs(sig):
+        gsig = tuple(ms for _i, ms in members)
+        fn = _group_commit_program(gsig)
+        g_ldes, digest = fn(
+            tuple(evals[i] for i, _ms in members), _commit_aux(gsig)
+        )
+        for (i, _ms), l in zip(members, g_ldes):
+            ldes[i] = l
+        digests[1 << log_lde] = digest
+
+    plan, tree_fn = _tree_program(heights)
+    flat, root_dev = tree_fn(digests)
     tree = mk.MerkleTree(
         matrices=list(ldes), plan=plan, flat=flat, root=np.asarray(root_dev),
         bitrev=True,
     )
     data = PcsProverData(
-        domains=domains, coeffs=list(coeffs), ldes=list(ldes), tree=tree,
+        domains=domains, ldes=list(ldes), tree=tree,
     )
     return tree.root, data
 
 
 # ---------------------------------------------------------------------------
-# Opening-value evaluation from coefficients (device)
+# Opening-value evaluation (device, barycentric from the LDEs)
 # ---------------------------------------------------------------------------
-
-
-@partial(jax.jit, static_argnames=("n",))
-def _zeta_powers_dev(lo_canon: jnp.ndarray, hi_canon: jnp.ndarray, n: int):
-    """One broadcasted EF multiply: powers[a*m + j] = z^{a*m} * z^j."""
-    m = lo_canon.shape[0]
-    lo = xe.from_array(xf.to_monty(lo_canon))  # (m,) planes: z^0..z^{m-1}
-    hi = xe.from_array(xf.to_monty(hi_canon))  # (n//m,) planes: z^{0,m,2m,...}
-    prod = xe.emul(
-        tuple(h[:, None] for h in hi), tuple(l[None, :] for l in lo)
-    )
-    return tuple(p.reshape(-1)[:n] for p in prod)
-
-
-def _zeta_power_tables(zeta: tuple, n: int):
-    """Host (lo, hi) sqrt-decomposed power tables for z^0..z^{n-1}.
-
-    Exact host EF4 arithmetic; the device combines them with one
-    outer-product emul (`_zeta_powers_dev`) - a tiny traced graph, vs the
-    associative_scan version whose lowering took tens of seconds to compile.
-    """
-    m = 1 << ((max(n, 2).bit_length() - 1 + 1) // 2)  # ~sqrt(n), power of two
-    m = min(m, n)
-    lo = [efh.ONE]
-    for _ in range(m - 1):
-        lo.append(efh.mul(lo[-1], zeta))
-    zm = efh.mul(lo[-1], zeta) if m > 1 else zeta
-    n_hi = (n + m - 1) // m
-    hi = [efh.ONE]
-    for _ in range(n_hi - 1):
-        hi.append(efh.mul(hi[-1], zm))
-    return (
-        jnp.asarray(np.array(lo, np.uint32)),
-        jnp.asarray(np.array(hi, np.uint32)),
-    )
 
 
 def _fsum_rows(x):
@@ -224,16 +231,6 @@ def _fsum_rows(x):
         x = xf.fadd(x[0::2], x[1::2])
         n = x.shape[0]
     return x[0]
-
-
-def _eval_mat_at_point_traced(coeffs: jnp.ndarray, zpows) -> jnp.ndarray:
-    """f_col(z) for all columns: (n, W) x planes (n,) -> (W, 4) canonical."""
-    n, w = coeffs.shape
-    acc = []
-    for k in range(4):
-        t = xf.fmul(coeffs, zpows[k][:, None])
-        acc.append(_fsum_rows(t))
-    return xf.from_monty(jnp.stack(acc, axis=-1))
 
 
 # ---------------------------------------------------------------------------
@@ -258,31 +255,54 @@ class PcsProof:
 
 @lru_cache(maxsize=None)
 def _open_eval_program(sig: tuple):
-    """ONE fused program for every opened-value evaluation in every round.
+    """ONE fused program for every opened-value evaluation in every round,
+    evaluated BARYCENTRICALLY from the LDEs (no coefficient matrices exist;
+    see PcsProverData).
+
+    For evaluations f(x_i) on the blowup coset g*H (|H| = N', g = GENERATOR):
+
+        f(z) = (z^N' - g^N')/(N' g^N') * sum_i f(x_i) * x_i / (z - x_i)
+
+    The device computes the raw sums S_c = sum_i f_c(x_i) * x_i * inv(x_i-z)
+    per (height, point) group (concatenating every member matrix's columns);
+    the host multiplies by the scalar factor -(z^N'-g^N')/(N' g^N') (the sign
+    folds inv(x_i-z) = -inv(z-x_i)).  The original domain's shift is
+    irrelevant - the values live on the GENERATOR coset after the LDE.
 
     sig: per round, per matrix: (log_n, shift, width, tuple of z-indices).
-    Inputs: coeff matrices + one (lo, hi) zeta-power table pair per distinct
-    (z-index, shift, log_n).  Output: tuple of (W, 4) canonical arrays, one
-    per (group) in static group order.
+    Output: tuple of (W_group, 4) canonical RAW SUM arrays in group order.
     """
     groups: Dict[tuple, list] = {}
     for r, mats in enumerate(sig):
-        for i, (log_n, shift, _w, zis) in enumerate(mats):
+        for i, (log_n, _shift, _w, zis) in enumerate(mats):
+            log_h = log_n + LOG_BLOWUP
             for pi, zi in enumerate(zis):
-                groups.setdefault((log_n, shift, zi), []).append((r, i, pi))
+                groups.setdefault((log_h, zi), []).append((r, i, pi))
     group_list = list(groups.items())
 
-    def impl(coeffs, zpows):
+    def impl(ldes, zs, pts):
         outs = []
-        for (log_n, shift, zi), members in group_list:
-            zp = _zeta_powers_dev(*zpows[(zi, shift, log_n)], n=1 << log_n)
-            cat = jnp.concatenate([coeffs[(r, i)] for r, i, _pi in members], axis=1)
-            outs.append(_eval_mat_at_point_traced(cat, zp))
+        weight_cache = {}
+        for (log_h, zi), members in group_list:
+            key = (log_h, zi)
+            if key not in weight_cache:
+                xm = pts[log_h]
+                z_dev = xe.from_array(xf.to_monty(zs[zi]))
+                xz = xe.esub(
+                    xe.from_base(xm),
+                    tuple(jnp.broadcast_to(z_dev[t], xm.shape) for t in range(4)),
+                )
+                # w_i = x_i * inv(x_i - z), EF planes
+                weight_cache[key] = xe.emul_base(xe.einv(xz), xm)
+            w = weight_cache[key]
+            cat = jnp.concatenate([ldes[(r, i)] for r, i, _pi in members], axis=1)
+            acc = tuple(_fsum_rows(xf.fmul(cat, w[t][:, None])) for t in range(4))
+            outs.append(xf.from_monty(jnp.stack(acc, axis=-1)))
         return tuple(outs)
 
     from ..utils.aot import jit_aot
 
-    return group_list, jit_aot(("open_eval", sig), impl)
+    return group_list, jit_aot(("open_eval_bary", sig), impl)
 
 
 @lru_cache(maxsize=None)
@@ -345,9 +365,9 @@ def _open_sig(rounds, zmap: Dict[tuple, int]) -> tuple:
     sig = []
     for data, points_per_mat in rounds:
         mats = []
-        for domain, coeffs, pts in zip(data.domains, data.coeffs, points_per_mat):
+        for domain, lde, pts in zip(data.domains, data.ldes, points_per_mat):
             zis = tuple(zmap.setdefault(z, len(zmap)) for z in pts)
-            mats.append((domain.log_n, domain.shift, int(coeffs.shape[1]), zis))
+            mats.append((domain.log_n, domain.shift, int(lde.shape[1]), zis))
         sig.append(tuple(mats))
     return tuple(sig)
 
@@ -363,9 +383,9 @@ def pcs_open(
 
     rounds: (data, points_per_matrix) where points_per_matrix[i] is the list
     of EF4 host tuples for matrix i.
-    free_after_use[r]: drop round r's coefficient/LDE buffers the moment the
-    pipeline no longer reads them (per-prove rounds; NOT the proving key's) -
-    bounds peak HBM to ~one live copy per committed matrix.
+    free_after_use: retained for API compatibility; since the barycentric
+    rewrite no coefficient buffers exist to free (LDEs stay live through the
+    query openings).
     Returns (opened_values, PcsProof); opened_values[r][i][p] = list of EF
     tuples per column.
     """
@@ -376,38 +396,50 @@ def pcs_open(
     _t0 = _time.time()
     from ..utils.transfer import fetch_all
 
-    # 1. Evaluate all openings from coefficients: ONE fused program.
+    # 1. Evaluate all openings barycentrically from the LDEs: ONE program.
     zmap: Dict[tuple, int] = {}
     sig = _open_sig(rounds, zmap)
     z_by_index = {zi: z for z, zi in zmap.items()}
     group_list, eval_fn = _open_eval_program(sig)
 
-    coeff_args = {
-        (r, i): data.coeffs[i]
+    lde_args = {
+        (r, i): data.ldes[i]
         for r, (data, _pts) in enumerate(rounds)
-        for i in range(len(data.coeffs))
+        for i in range(len(data.ldes))
     }
-    zpow_args: Dict[tuple, tuple] = {}
-    for (log_n, shift, zi), _members in group_list:
-        # intt over a shifted domain yields coefficients of q(shift*y):
-        # evaluate the real polynomial q at z via q~(z / shift).
-        zs = efh.mul_base(z_by_index[zi], pow(shift, P - 2, P))
-        zpow_args[(zi, shift, log_n)] = _zeta_power_tables(zs, 1 << log_n)
-    eval_pieces = eval_fn(coeff_args, zpow_args)
-    del coeff_args
+    pts_args = {
+        log_h: _lde_points_dev(log_h) for log_h, _zi in dict(group_list)
+    }
+    zs_args = {
+        zi: jnp.asarray(np.array(z_by_index[zi], np.uint32))
+        for _lh, zi in dict(group_list)
+    }
+    eval_pieces = eval_fn(lde_args, zs_args, pts_args)
 
     opened_values = [
         [[None] * len(pts) for pts in points_per_mat] for _, points_per_mat in rounds
     ]
-    # ONE blocking transfer for every opened value in every round.
-    for ys, ((_log_n, _shift, _zi), members) in zip(
+    # ONE blocking transfer; host applies the scalar barycentric factor.
+    factor_cache: Dict[tuple, tuple] = {}
+    for ys_raw, ((log_h, zi), members) in zip(
         fetch_all(list(eval_pieces)), group_list
     ):
+        key = (log_h, zi)
+        if key not in factor_cache:
+            z = z_by_index[zi]
+            n_p = 1 << log_h
+            g_n = pow(GENERATOR, n_p, P)
+            num = efh.add_base(efh.epow(z, n_p), P - g_n)  # z^N' - g^N'
+            den_inv = pow(n_p * g_n % P, P - 2, P)
+            # sign: device sums used inv(x_i - z) = -inv(z - x_i)
+            factor_cache[key] = efh.neg(efh.mul_base(num, den_inv))
+        factor = factor_cache[key]
         off = 0
         for r, i, pi in members:
-            w = rounds[r][0].coeffs[i].shape[1]
+            w = rounds[r][0].ldes[i].shape[1]
             opened_values[r][i][pi] = [
-                tuple(int(x) for x in y) for y in ys[off : off + w]
+                efh.mul(factor, tuple(int(x) for x in y))
+                for y in ys_raw[off : off + w]
             ]
             off += w
 
@@ -415,11 +447,6 @@ def pcs_open(
     from ..utils import phases as _phases
 
     _phases.add("open_eval", _time.time() - _t0); _t0 = _time.time()
-
-    if free_after_use:
-        for r, (data, _pts) in enumerate(rounds):
-            if free_after_use[r]:
-                data.coeffs = [None] * len(data.coeffs)
 
     # 2. Bind opened values, then sample the combination challenge.
     for round_vals in opened_values:

@@ -160,6 +160,11 @@ class MachineProver:
         t_ph = time.time()
         shard_data = self.commit(named_traces)
         phases.add("main_commit", time.time() - t_ph)
+        # Drop the outer references to the main eval matrices NOW: open()
+        # frees shard_data["traces"] after LogUp generation, and at 2^22 rows
+        # (~1.5 GB) that free only takes effect if no other reference keeps
+        # the buffers alive (the round-4 OOM lesson).
+        del named_traces, named_sorted
         proof = self.open(pk, shard_data, challenger)
         log.debug("prove_shard in %.3fs", time.time() - t0)
         return MachineProof(shard_proof=proof)
@@ -263,6 +268,10 @@ class TpuProver(MachineProver):
         perm_root, perm_data = pcs_commit(
             [(d, p) for d, p in zip(trace_domains, perm_flat)]
         )
+        # the committed round keeps coeffs+LDEs; the eval-form permutation
+        # matrices (~0.5 GB at 2^22) are no longer read
+        perm_traces = None
+        perm_flat = None
         log.debug("committed permutation traces in %.3fs", time.time() - t0)
         phases.add("perm_commit", time.time() - t0)
 
@@ -313,6 +322,8 @@ class TpuProver(MachineProver):
         quotient_root, quotient_data = pcs_commit(
             list(zip(quotient_domains_flat, quotient_mats))
         )
+        n_quotient_mats = len(quotient_mats)
+        quotient_mats = None  # eval-form chunks (~1 GB at 2^22) now unused
         log.debug("committed quotient in %.3fs", time.time() - t0)
         phases.add("quotient_commit", time.time() - t0)
         log.debug("quotient root: %s", [int(x) for x in quotient_root])
@@ -330,7 +341,7 @@ class TpuProver(MachineProver):
             for chip, td in zip(chips, trace_domains)
         ]
         perm_points = [[zeta, td.next_point_ef(zeta)] for td in trace_domains]
-        quotient_points = [[zeta] for _ in quotient_mats]
+        quotient_points = [[zeta] for _ in range(n_quotient_mats)]
 
         t0 = time.time()
         opened, pcs_proof = pcs_open(
