@@ -87,3 +87,37 @@ def test_merkle_multi_height():
         rows = [opened[k][q] for k in range(3)]
         assert mk.verify_batch(tree.root, dims, q, rows, proof[q])
         assert np.array_equal(opened[1][q], m2[q >> 2])  # height-4 matrix row map
+
+
+def test_pallas_ntt_first_stages_matches_xla():
+    """The Pallas fused-first-stages NTT prototype (ops/ntt_pallas.py; NOT
+    wired into the prover - measured 0.99-1.11x vs XLA, below the 1.3x keep
+    bar, see BASELINE.md) must stay bit-exact with the XLA stage loop."""
+    import jax
+
+    from zkvm_brainfuck_tpu.ops import ntt_pallas as ntp
+
+    log_n, w, k = 8, 5, 6
+    n = 1 << log_n
+    rng = np.random.default_rng(3)
+    x = f.to_monty(jnp.asarray(rng.integers(0, f.P, size=(n, w), dtype=np.uint32)))
+    tw = jax.jit(lambda: nt.twiddle_blob_traced(log_n, False))()
+    rev = jax.jit(lambda: nt.bitrev_traced(log_n))()
+    ref = jax.jit(lambda x: nt.ntt_traced(x, tw, rev, log_n, False))(x)
+
+    def hybrid(x):
+        xb = x[rev]
+        xb = ntp.ntt_first_stages(xb, tw, k)
+        cols = xb.shape[1]
+        for s in range(k + 1, log_n + 1):
+            m = 1 << s
+            half = m // 2
+            tws = jax.lax.dynamic_slice_in_dim(tw, half - 1, half)
+            y = xb.reshape(n // m, m, cols)
+            u = y[:, :half, :]
+            v = f.fmul(y[:, half:, :], tws[None, :, None])
+            xb = jnp.concatenate([f.fadd(u, v), f.fsub(u, v)], axis=1).reshape(n, cols)
+        return xb
+
+    out = jax.jit(hybrid)(x)
+    assert (np.asarray(out) == np.asarray(ref)).all()

@@ -132,3 +132,26 @@ def test_sharded_intermediates_stay_sharded():
         assert frac <= 1.01 / 8, f"quotient values replicated: {frac}"
     finally:
         stark_prover.set_shard_mesh(None)
+
+
+def test_multihost_dryrun_subprocess():
+    """Multi-process (fake multi-host) dryrun: the same shard_map pipeline
+    across 2 OS processes x 4 CPU devices with jax.distributed - the DCN
+    stand-in this image allows (SURVEY §5.8 / §7 step 10).  Opt-out with
+    ZKBF_SKIP_MULTIHOST=1 (it costs ~2-4 min of subprocess time)."""
+    import subprocess
+    import sys
+
+    if os.environ.get("ZKBF_SKIP_MULTIHOST") == "1":
+        import pytest
+
+        pytest.skip("ZKBF_SKIP_MULTIHOST=1")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "multihost_dryrun.py")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "MULTIHOST OK" in out.stdout

@@ -59,8 +59,10 @@ def main():
         print(json.dumps({"metric": name, "value": value, "unit": unit,
                           **({"extra": extra} if extra else {})}), flush=True)
 
+    # RTT floor on the tunnel is ~36 ms per fetch: make each timed call
+    # hundreds of ms of real work so the floor is <10% of the measurement.
     N = 1 << 24
-    K = 64
+    K = 512
 
     # -- 1a. mod-add chain ------------------------------------------------
     @jax.jit
@@ -112,14 +114,14 @@ def main():
     @jax.jit
     def p2_chain(seed):
         cols = [seed + jnp.uint32(i) for i in range(16)]
-        cols = p2.permute_cols(cols)
-        cols = p2.permute_cols(cols)
+        for _ in range(8):
+            cols = p2.permute_cols(cols)
         return jnp.sum(cols[0][:8])
 
     s0 = jnp.arange(B, dtype=jnp.uint32)
     _ = np.asarray(p2_chain(s0))
     t = timeit(lambda r: np.asarray(p2_chain(s0 + jnp.uint32(r + 1))))
-    perm_rate = 2 * B / t
+    perm_rate = 8 * B / t
     # field-op model per permutation: 8 ext rounds x (16 sbox(2 mul) + 64
     # add-ish linear) + 13 int rounds x (1 sbox + 16 mul + ~32 add)
     MODEL_MULS = 8 * 32 + 13 * 18  # 490
@@ -132,25 +134,33 @@ def main():
             100 * (perm_rate * MODEL_MULS / 1e9) / max(mul_gops, 1e-9), 1),
     })
 
-    # -- 4. forward NTT ----------------------------------------------------
-    for log_n in (18, 21):
+    # -- 4. forward NTT at PROVER-REPRESENTATIVE widths ---------------------
+    # (the prover's NTTs run 38-64 columns wide; a 1-column NTT is pure
+    # per-stage overhead and measures nothing useful)
+    for log_n, w_cols in ((18, 64), (21, 40), (23, 64)):
         n = 1 << log_n
-        tw = jax.jit(lambda: nt.twiddle_blob_traced(log_n, False))()
-        rev = jax.jit(lambda: nt.bitrev_traced(log_n))()
+        tw = jax.jit(lambda log_n=log_n: nt.twiddle_blob_traced(log_n, False))()
+        rev = jax.jit(lambda log_n=log_n: nt.bitrev_traced(log_n))()
 
         @jax.jit
-        def ntt_once(x):
-            y = nt.ntt_traced(x[:, None], tw, rev, log_n, False)
+        def ntt_once(x, tw=tw, rev=rev, log_n=log_n):
+            y = nt.ntt_traced(x, tw, rev, log_n, False)
             return jnp.sum(y[:8, 0])
 
-        xn = jnp.arange(n, dtype=jnp.uint32) % jnp.uint32(f.P)
-        _ = np.asarray(ntt_once(xn))
-        t = timeit(lambda r: np.asarray(ntt_once(xn + jnp.uint32(r + 1))))
-        bf = (n // 2) * log_n  # butterflies: 1 mul + 2 add each
-        emit(f"ntt_2e{log_n}_time", round(t * 1e3, 2), "ms", {
+        try:
+            xn = jnp.arange(n * w_cols, dtype=jnp.uint32).reshape(n, w_cols) % jnp.uint32(f.P)
+            _ = np.asarray(ntt_once(xn))
+            t = timeit(lambda r: np.asarray(ntt_once((xn + jnp.uint32(r + 1)) % jnp.uint32(f.P))))
+        except Exception as e:
+            print(f"ntt 2^{log_n}x{w_cols} skipped: {str(e)[:80]}", file=sys.stderr)
+            continue
+        bf = (n // 2) * log_n * w_cols  # butterflies: 1 mul + 2 add each
+        emit(f"ntt_2e{log_n}x{w_cols}_time", round(t * 1e3, 2), "ms", {
             "butterflies": bf,
             "implied_mul_gops": round(bf / t / 1e9, 2),
             "pct_of_mul_roofline": round(100 * (bf / t / 1e9) / max(mul_gops, 1e-9), 1),
+            "bytes_touched_gb": round(2 * 4 * n * w_cols * log_n / 1e9, 2),
+            "implied_hbm_gbps": round(2 * 4 * n * w_cols * log_n / t / 1e9, 1),
         })
 
     # -- 5. EF4 batched inverse (LogUp denominators) -----------------------

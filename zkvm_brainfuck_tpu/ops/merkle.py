@@ -40,7 +40,7 @@ import numpy as np
 from . import field as f
 from . import poseidon2 as p2
 
-CHUNK = 4096  # rows per schedule step; levels below this are padded
+CHUNK = 4096  # rows per schedule step; levels below this are padded (16384 measured 8% SLOWER at 2^20, round 4)
 
 
 # ---------------------------------------------------------------------------

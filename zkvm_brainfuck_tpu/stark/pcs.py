@@ -111,9 +111,11 @@ def _lde_traced(evals, log_n: int, aux: dict, spkey):
 
 
 @lru_cache(maxsize=None)
-def _group_commit_program(gsig: tuple):
+def _group_commit_program(gsig: tuple, donate: bool = False):
     """Per-height-group program.  gsig: tuple of (log_n, shift, width), all
-    with equal log_n + LOG_BLOWUP.  Returns (coeffs..., ldes..., digest)."""
+    with equal log_n + LOG_BLOWUP.  Returns (ldes..., digest).  With
+    `donate`, the eval inputs are donated (caller must not reuse them) so
+    their buffers free during execution."""
     log_lde = gsig[0][0] + LOG_BLOWUP
 
     def impl(mats, aux):
@@ -126,7 +128,9 @@ def _group_commit_program(gsig: tuple):
 
     from ..utils.aot import jit_aot
 
-    return jit_aot(("commitg", gsig), impl)
+    return jit_aot(
+        ("commitg", gsig, donate), impl, donate_leaves=len(gsig) if donate else 0
+    )
 
 
 @lru_cache(maxsize=None)
@@ -167,7 +171,7 @@ def _group_sigs(sig: tuple):
     return sorted(groups.items(), key=lambda kv: -kv[0])
 
 
-def warm_commit(sig: tuple) -> None:
+def warm_commit(sig: tuple, donate_inputs: bool = False) -> None:
     """Compile (without executing) the commit programs for `sig`."""
     from ..utils.aot import sds
 
@@ -175,14 +179,20 @@ def warm_commit(sig: tuple) -> None:
     for log_lde, members in _group_sigs(sig):
         gsig = tuple(ms for _i, ms in members)
         mats = tuple(sds((1 << ln, w)) for ln, _s, w in gsig)
-        _group_commit_program(gsig).warm(mats, _commit_aux(gsig))
+        _group_commit_program(gsig, donate_inputs).warm(mats, _commit_aux(gsig))
     _plan, tree_fn = _tree_program(heights)
     tree_fn.warm({1 << ll: sds((1 << ll, 8)) for ll, _m in _group_sigs(sig)})
 
 
-def pcs_commit(domains_and_evals: Sequence[Tuple[Domain, jnp.ndarray]]) -> Tuple[np.ndarray, PcsProverData]:
+def pcs_commit(
+    domains_and_evals: Sequence[Tuple[Domain, jnp.ndarray]],
+    donate_inputs: bool = False,
+) -> Tuple[np.ndarray, PcsProverData]:
     """Commit a batch of (2^log_n, W) Monty eval matrices: one program per
-    LDE-height group + one tree-walk program (all dispatches asynchronous)."""
+    LDE-height group + one tree-walk program (all dispatches asynchronous).
+
+    donate_inputs: the caller will never touch the eval matrices again
+    (permutation/quotient rounds) - donate them so HBM frees mid-program."""
     domains = [d for d, _ in domains_and_evals]
     evals = [e for _, e in domains_and_evals]
     for d, e in domains_and_evals:
@@ -196,7 +206,7 @@ def pcs_commit(domains_and_evals: Sequence[Tuple[Domain, jnp.ndarray]]) -> Tuple
     digests: Dict[int, jnp.ndarray] = {}
     for log_lde, members in _group_sigs(sig):
         gsig = tuple(ms for _i, ms in members)
-        fn = _group_commit_program(gsig)
+        fn = _group_commit_program(gsig, donate_inputs)
         g_ldes, digest = fn(
             tuple(evals[i] for i, _ms in members), _commit_aux(gsig)
         )

@@ -266,7 +266,8 @@ class TpuProver(MachineProver):
         t0 = time.time()
         perm_flat = [p.reshape(p.shape[0], -1) for p in perm_traces]
         perm_root, perm_data = pcs_commit(
-            [(d, p) for d, p in zip(trace_domains, perm_flat)]
+            [(d, p) for d, p in zip(trace_domains, perm_flat)],
+            donate_inputs=True,
         )
         # the committed round keeps coeffs+LDEs; the eval-form permutation
         # matrices (~0.5 GB at 2^22) are no longer read
@@ -320,7 +321,8 @@ class TpuProver(MachineProver):
 
         t0 = time.time()
         quotient_root, quotient_data = pcs_commit(
-            list(zip(quotient_domains_flat, quotient_mats))
+            list(zip(quotient_domains_flat, quotient_mats)),
+            donate_inputs=True,
         )
         n_quotient_mats = len(quotient_mats)
         quotient_mats = None  # eval-form chunks (~1 GB at 2^22) now unused

@@ -85,8 +85,8 @@ def warm_prove_programs(pk, chips, log_degrees, config) -> list:
         qd = Domain(ld, 1).create_disjoint_domain(1 << (ld + chip.log_quotient_degree))
         for sd in qd.split_domains(1 << chip.log_quotient_degree):
             quot_sig.append((sd.log_n, sd.shift, 4))
-    submit("commit:perm", warm_commit, perm_sig)
-    submit("commit:quotient", warm_commit, tuple(quot_sig))
+    submit("commit:perm", warm_commit, perm_sig, True)
+    submit("commit:quotient", warm_commit, tuple(quot_sig), True)
 
     # -- per-chip LogUp + quotient programs ---------------------------------
     for chip, ld in zip(chips, log_degrees):

@@ -193,7 +193,7 @@ def _key_digest(key, version: str = "") -> str:
     return hashlib.sha256((repr(key) + "|" + version).encode()).hexdigest()[:32]
 
 
-def aot_compile(key, build: Callable[[], Callable], example_args: Sequence, version: str = ""):
+def aot_compile(key, build: Callable[[], Callable], example_args: Sequence, version: str = "", donate_leaves: int = 0):
     """Return a compiled callable for `build()` specialized to `example_args`.
 
     key: any repr-stable value identifying the kernel (name + shapes + static
@@ -220,8 +220,16 @@ def aot_compile(key, build: Callable[[], Callable], example_args: Sequence, vers
     leaves, in_tree = jax.tree.flatten(tuple(example_args))
     shapes = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
 
+    donate = tuple(range(donate_leaves))
+
     if not enabled():
-        wrapper = jax.jit(build())
+        flat_cell = []
+        flat_fn = _flatwrap(build(), in_tree, flat_cell)
+        fn = jax.jit(flat_fn, donate_argnums=donate) if donate else jax.jit(build())
+        if donate:
+            wrapper = _rewrap(fn, flat_cell, in_tree)
+        else:
+            wrapper = fn
         _mem[full_key] = wrapper
         return wrapper
 
@@ -248,11 +256,11 @@ def aot_compile(key, build: Callable[[], Callable], example_args: Sequence, vers
         out_tree_cell = []
         flat_fn = _flatwrap(build(), in_tree, out_tree_cell)
         try:
-            exported = jax.export.export(jax.jit(flat_fn))(*shapes)
+            exported = jax.export.export(jax.jit(flat_fn, donate_argnums=donate))(*shapes)
         except Exception as e:
             # Anything jax.export cannot handle falls back to plain jit.
             log.warning("aot: export failed for %r (%s); plain jit", key, e)
-            fn = jax.jit(flat_fn)
+            fn = jax.jit(flat_fn, donate_argnums=donate)
             wrapper = _rewrap(fn, out_tree_cell, in_tree)
             _mem[full_key] = wrapper
             return wrapper
@@ -268,7 +276,7 @@ def aot_compile(key, build: Callable[[], Callable], example_args: Sequence, vers
         log.debug("aot: built %r in %.3fs", key, time.time() - t0)
 
     t0 = time.time()
-    compiled = jax.jit(exported.call).lower(*shapes).compile()
+    compiled = jax.jit(exported.call, donate_argnums=donate).lower(*shapes).compile()
     log.debug("aot: compiled %r in %.3fs", key, time.time() - t0)
 
     def wrapper(*args):
@@ -322,7 +330,7 @@ def _key_lock(key) -> threading.Lock:
         return lk
 
 
-def jit_aot(key, impl, deps: tuple = ()):
+def jit_aot(key, impl, deps: tuple = (), donate_leaves: int = 0):
     """Drop-in `jax.jit(impl)` replacement: AOT-compiled on first call using
     the real call arguments as the specialization signature.  The caller's
     `key` must determine every arg shape (callers key their program caches by
@@ -331,6 +339,10 @@ def jit_aot(key, impl, deps: tuple = ()):
     deps: extra package-relative dotted module/package names whose source the
     traced graph depends on beyond `impl`'s own module's import closure (e.g.
     ("models",) for kernels that run captured chip `eval` code).
+    donate_leaves: donate the first N flattened argument leaves to XLA - the
+    caller promises not to read them after the call, letting the runtime
+    free/reuse their buffers DURING execution (peak-HBM lever for commits
+    whose eval inputs die at the first iNTT).
 
     `wrapper.warm(*args)` compiles without executing - args may be
     ShapeDtypeStructs, so warm-up allocates NO device buffers.  Per-key
@@ -359,7 +371,9 @@ def jit_aot(key, impl, deps: tuple = ()):
                 if fn is None:
                     if mkey is None:
                         fn = aot_compile(
-                            key, lambda: impl, args, version=closure_version(roots)
+                            key, lambda: impl, args,
+                            version=closure_version(roots),
+                            donate_leaves=donate_leaves,
                         )
                     else:
                         fn = _mesh_jit(impl, mesh)
