@@ -168,14 +168,39 @@ def closure_version(roots: tuple) -> str:
     h = hashlib.sha256()
     for path in sorted(files):
         h.update(os.path.relpath(path, root_dir).encode())
-        try:
-            with open(path, "rb") as fh:
-                h.update(fh.read())
-        except OSError:
-            pass
+        h.update(_semantic_bytes(path))
     v = h.hexdigest()[:16]
     _closure_cache[roots] = v
     return v
+
+
+def _semantic_bytes(path: str) -> bytes:
+    """Source bytes reduced to code SEMANTICS for .py files: the AST dump
+    with docstrings stripped, so comment/doc-only edits (e.g. the
+    end-of-round snapshot commit touching a docstring) do NOT invalidate
+    compiled kernels.  Non-Python files (data/) hash raw."""
+    try:
+        with open(path, "rb") as fh:
+            raw = fh.read()
+    except OSError:
+        return b""
+    if not path.endswith(".py"):
+        return raw
+    try:
+        tree = ast.parse(raw)
+        for node in ast.walk(tree):
+            body = getattr(node, "body", None)
+            if (
+                isinstance(node, (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef))
+                and body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                body[0].value.value = ""
+        return ast.dump(tree).encode()
+    except SyntaxError:
+        return raw
 
 
 def _cache_dir() -> str:
