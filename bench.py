@@ -127,13 +127,13 @@ def run_ladder(rungs, deadline: float) -> None:
     log(f"ladder {rungs}: devices {jax.devices()}")
     client = ProverClient()
 
-    # One retry pass for rungs that hit RESOURCE_EXHAUSTED: the tunneled
-    # chip's free HBM fluctuates with other tenants (round-4 finding), so a
-    # rung that OOMs now may fit after the smaller rungs complete.
-    queue = list(rungs)
-    retried = set()
-    while queue:
-        rung = queue.pop(0)
+    # A rung that hits RESOURCE_EXHAUSTED poisons this PROCESS (residual
+    # buffers + cached big-rung tables keep failing every later rung -
+    # observed round 4), so the child EXITS with rc=3 and a marker; the
+    # parent respawns a fresh child with the remaining rungs and re-queues
+    # the OOM'd rung once at the end (the tunneled chip's free HBM
+    # fluctuates with other tenants, so a later attempt may fit).
+    for rung in rungs:
         remaining = deadline - time.time()
         need = MIN_RUNG_COST.get(rung, 120)
         if remaining < need:
@@ -143,10 +143,9 @@ def run_ladder(rungs, deadline: float) -> None:
             run_one_rung(client, rung, deadline, device)
         except Exception as e:
             log(f"rung 2^{rung}: FAILED ({type(e).__name__}: {str(e)[:200]})")
-            if "RESOURCE_EXHAUSTED" in str(e) and rung not in retried:
-                retried.add(rung)
-                queue.append(rung)  # retry after the smaller rungs
-                log(f"rung 2^{rung}: queued for one retry at the end")
+            if "RESOURCE_EXHAUSTED" in str(e):
+                print(json.dumps({"rung_oom": rung}), flush=True)
+                sys.exit(3)
 
 
 def run_one_rung(client, rung, deadline, device) -> None:
@@ -239,6 +238,9 @@ def spawn_ladder(rungs, budget_end: float, results, state):
                 state["rung"] = obj["rung_start"]
                 state["rung_t0"] = time.time()
                 continue
+            if "rung_oom" in obj:
+                state["oom"] = obj["rung_oom"]
+                continue
             results.append(obj)
             print(line, flush=True)  # forward to the driver IMMEDIATELY
 
@@ -255,7 +257,13 @@ def spawn_ladder(rungs, budget_end: float, results, state):
             cur = state.get("rung")
             if cur is None:
                 return pending  # died before any rung: retry (attempt-capped)
-            return [r for r in pending if r < cur]  # skip the rung that died
+            rest = [r for r in pending if r < cur]
+            oom = state.pop("oom", None)
+            if rc == 3 and oom is not None and oom not in state.setdefault("retried", set()):
+                state["retried"].add(oom)
+                rest = rest + [oom]  # one fresh-process retry at the end
+                log(f"rung 2^{oom}: re-queued for a fresh-process retry")
+            return rest
         now = time.time()
         cur = state.get("rung")
         if now > budget_end + 15:

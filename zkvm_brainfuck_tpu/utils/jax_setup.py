@@ -29,16 +29,46 @@ def enable_cpu_fast_field():
         jax.config.update("jax_enable_x64", True)
 
 
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags.
+
+    The persistent cache stores XLA:CPU executables compiled for the exact
+    host microarchitecture; this image's home directory is SHARED across
+    machines with different avx512 feature sets, and loading a foreign
+    entry warns ("could lead to execution errors such as SIGILL") and was
+    observed to SEGFAULT the test suite mid-run (round 4).  Keying the
+    cache directory by the feature flags isolates hosts from each other.
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None):
     global _done
     if _done:
         return
     import jax
 
+    # Host-fingerprint the CPU cache only: XLA:CPU executables are
+    # machine-specific (foreign entries segfault), while TPU executables are
+    # target-compiled server-side and SHOULD stay shared across hosts.
+    suffix = _host_fingerprint() if jax.default_backend() == "cpu" else ""
     cache_dir = (
         path
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        or os.path.join(os.path.expanduser("~"), ".cache", "zkvm_brainfuck_tpu", "xla")
+        or os.path.join(
+            os.path.expanduser("~"), ".cache", "zkvm_brainfuck_tpu", "xla", suffix
+        )
     )
     os.makedirs(cache_dir, exist_ok=True)
     try:
