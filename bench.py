@@ -257,7 +257,12 @@ def spawn_ladder(rungs, budget_end: float, results, state):
             cur = state.get("rung")
             if cur is None:
                 return pending  # died before any rung: retry (attempt-capped)
-            rest = [r for r in pending if r < cur]
+            done = {
+                (r["extra"]["cycles"] + 1).bit_length() - 1
+                for r in results
+                if r.get("extra", {}).get("phase") == "steady"
+            }
+            rest = [r for r in pending if r < cur and r not in done]
             oom = state.pop("oom", None)
             if rc == 3 and oom is not None and oom not in state.setdefault("retried", set()):
                 state["retried"].add(oom)
