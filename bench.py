@@ -112,6 +112,34 @@ def emit(cycles, elapsed, phase, extra=None):
 # ---------------------------------------------------------------------------
 
 
+# Estimated peak device working set per rung (GB), measured round 5: the
+# 2^22 prove peaks ~7 GB during the FRI phase (all rounds' LDEs + tree flats
+# live until the query gathers).  The tunneled chip's FREE HBM fluctuates
+# with other tenants, so big rungs probe for headroom first and defer
+# instead of dying.
+RUNG_PEAK_GB = {22: 7.2, 20: 2.0}
+
+
+def hbm_headroom_ok(need_gb: float) -> bool:
+    """Touch-probe `need_gb` of device HBM (constant-fill buffers don't
+    count - only a program's actual working set hits the limit)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = int(need_gb * (1 << 30)) // 4
+    touch = jax.jit(
+        lambda k: jnp.sum(jax.random.bits(k, (n,), dtype=jnp.uint32) & jnp.uint32(1))
+    )
+    try:
+        np.asarray(touch(jax.random.PRNGKey(int(time.time()) & 0xFFFF)))
+        return True
+    except Exception as e:
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        return False
+
+
 def run_ladder(rungs, deadline: float) -> None:
     from zkvm_brainfuck_tpu.utils.jax_setup import enable_compilation_cache
 
@@ -133,12 +161,34 @@ def run_ladder(rungs, deadline: float) -> None:
     # parent respawns a fresh child with the remaining rungs and re-queues
     # the OOM'd rung once at the end (the tunneled chip's free HBM
     # fluctuates with other tenants, so a later attempt may fit).
-    for rung in rungs:
+    queue = list(rungs)
+    deferred = set()
+    while queue:
+        rung = queue.pop(0)
         remaining = deadline - time.time()
         need = MIN_RUNG_COST.get(rung, 120)
         if remaining < need:
             log(f"rung 2^{rung}: skipped ({remaining:.0f}s left < {need}s minimum)")
             continue
+        peak = RUNG_PEAK_GB.get(rung)
+        if peak is not None and not hbm_headroom_ok(peak):
+            if rung not in deferred and queue:
+                # other tenants hold the chip's HBM right now: run the
+                # smaller rungs first and come back
+                deferred.add(rung)
+                queue.append(rung)
+                log(f"rung 2^{rung}: <{peak} GB free, deferred to end of ladder")
+                continue
+            # last in line: wait for headroom while budget remains
+            waited = False
+            while deadline - time.time() > need + 90:
+                log(f"rung 2^{rung}: waiting 90s for {peak} GB of free HBM")
+                time.sleep(90)
+                if hbm_headroom_ok(peak):
+                    waited = True
+                    break
+            if not waited:
+                log(f"rung 2^{rung}: no headroom before budget; attempting anyway")
         try:
             run_one_rung(client, rung, deadline, device)
         except Exception as e:

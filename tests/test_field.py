@@ -122,3 +122,23 @@ def test_epow_matches_square_chain():
     x9 = e.epow(a, 9)
     manual = e.emul(e.esquare(e.esquare(e.esquare(a))), a)
     assert np.array_equal(np.asarray(e.to_array(x9)), np.asarray(e.to_array(manual)))
+
+
+def test_fsum_exact_reductions():
+    """fsum_rows / fsum_small match an exact host mod-p sum."""
+    import numpy as np
+    import jax.numpy as jnp
+    from zkvm_brainfuck_tpu.ops import field as f
+
+    rng = np.random.default_rng(5)
+    for shape, axis in [((1 << 15, 7), 0), ((64, 5), 0), ((1, 3), 0)]:
+        x = rng.integers(0, f.P, size=shape, dtype=np.uint32)
+        got = np.asarray(f.fsum_rows(jnp.asarray(x)))
+        want = (x.astype(np.uint64).sum(axis=0) % f.P).astype(np.uint32)
+        assert (got == want).all(), shape
+    x = rng.integers(0, f.P, size=(1 << 10, 77), dtype=np.uint32)
+    got = np.asarray(f.fsum_small(jnp.asarray(x), axis=-1))
+    want = (x.astype(np.uint64).sum(axis=1) % f.P).astype(np.uint32)
+    assert (got == want).all()
+    got = np.asarray(f.fsum_small(jnp.asarray(x.T), axis=0))
+    assert (got == want).all()

@@ -115,3 +115,17 @@ def test_tampered_final_poly_fails():
 
     with pytest.raises(VerificationFailure):
         _roundtrip([[(4, 2, 1)]], [[1]], tamper=tamper)
+
+
+def test_blocked_commit_matches_unblocked(monkeypatch):
+    """The huge-height blocked commit path (per-column-block LDE programs,
+    ZKBF_BLK_LOG gate) must produce bit-identical roots and LDEs."""
+    specs = [(6, 11, 1), (6, 3, 1), (5, 5, 1)]
+    mats = _mats(specs)
+    root_a, data_a = pcs_commit(mats)
+    monkeypatch.setenv("ZKBF_BLK_LOG", "6")  # LDE heights 2^6+ go blocked
+    monkeypatch.setenv("ZKBF_BLK_W", "4")
+    root_b, data_b = pcs_commit(mats)
+    assert [int(x) for x in root_a] == [int(x) for x in root_b]
+    for la, lb in zip(data_a.ldes, data_b.ldes):
+        assert (np.asarray(la) == np.asarray(lb)).all()

@@ -181,6 +181,45 @@ def fhalve(a):
     return jnp.where(odd, (a >> 1) + ((P + 1) >> 1), a >> 1)
 
 
+# 2^48 mod p: Montgomery factor recombining a 16-bit-shifted partial sum
+# (fmul(hi, _SHIFT16_M) == hi * 2^16 mod p for canonical/Monty hi).
+_SHIFT16_M = (1 << 48) % P
+# Max chunk rows for exact u32 split sums: 2^13 * (2^16 - 1) < 2^29.
+_FSUM_CHUNK = 1 << 13
+
+
+def fsum_rows(x):
+    """Exact mod-p sum over axis 0 of (N, ...) canonical/Monty u32 arrays.
+
+    Native `jnp.sum` reductions of 16-bit lo/hi halves over <=2^13-row
+    chunks (exact in u32), then a mod-p recombination of the tiny partials.
+    Replaces the former pairwise fadd tree: the tree's log(N) full-array
+    passes ran at 1.5-8 GB/s on TPU; this runs at ~20-23 GB/s (round-5
+    measurement, tools history), a 2.4-15x kernel win in the opened-value
+    and reduced-opening programs.
+    """
+    n = x.shape[0]
+    if n == 1:
+        return x[0]
+    c = min(_FSUM_CHUNK, n)
+    xr = x.reshape((n // c, c) + x.shape[1:])
+    lo = jnp.sum(xr & _u32(0xFFFF), axis=1, dtype=jnp.uint32)  # < 2^29
+    hi = jnp.sum(xr >> 16, axis=1, dtype=jnp.uint32)  # < 2^28
+    part = fadd(lo % _u32(P), fmul(hi % _u32(P), _u32(_SHIFT16_M)))
+    while part.shape[0] > 1:
+        part = fadd(part[0::2], part[1::2])
+    return part[0]
+
+
+def fsum_small(x, axis=-1):
+    """Exact mod-p sum over one SMALL axis (dim <= 2^13) of canonical/Monty
+    u32 arrays: one native lo/hi split reduction + mod recombination."""
+    assert x.shape[axis] <= _FSUM_CHUNK
+    lo = jnp.sum(x & _u32(0xFFFF), axis=axis, dtype=jnp.uint32)
+    hi = jnp.sum(x >> 16, axis=axis, dtype=jnp.uint32)
+    return fadd(lo % _u32(P), fmul(hi % _u32(P), _u32(_SHIFT16_M)))
+
+
 # ---------------------------------------------------------------------------
 # Host-side exact scalar helpers (Python ints, canonical form)
 # ---------------------------------------------------------------------------

@@ -10,17 +10,18 @@ Commit semantics for a batch of matrices with power-of-two heights:
   matches some matrices' height, their row-hash is folded in with an extra
   compress (p3's compress-and-inject).
 
-Compile discipline (the round-2 lesson: XLA compile time, not compute, was
-the prover's cost): the whole tree build is a *traceable function* with a
-CONSTANT-SIZE graph, independent of tree height:
+Build discipline:
 
 - the leaf sponge is `lax.scan` over rate-8 column chunks (ONE Poseidon2
   permutation instance in the graph, any width);
 - every tree level lives in one flat (L, 8) buffer at host-planned offsets,
-  with small levels padded to CHUNK rows, so the entire level walk is ONE
-  `lax.scan` over a (src, dst) offset schedule whose body is a single
-  fixed-shape compress of CHUNK pairs;
-- compress-and-inject points split the schedule into a handful of scans.
+  and each level is compressed in ONE whole-level Poseidon2 call (a rolled
+  ~200-primitive instance per level, log_n instances per tree).  Round-5
+  lesson: the previous CHUNK-granular `lax.scan` schedule (4096-row steps)
+  serialized ~520 INDEPENDENT steps per big tree at ~0.4 ms each - the walk
+  was the single largest non-kernel cost in every commit and FRI layer.
+  Whole-level steps keep the sequential depth at log_n (the true data
+  dependence) with full-batch VPU work per step.
 
 `commit()` wraps the builder in one jit per batch signature; `build_traced`
 is reused inside fused PCS/FRI programs so a whole commit (NTT + LDE +
@@ -40,9 +41,6 @@ import numpy as np
 from . import field as f
 from . import poseidon2 as p2
 
-CHUNK = 4096  # rows per schedule step; levels below this are padded (16384 measured 8% SLOWER at 2^20, round 4)
-
-
 # ---------------------------------------------------------------------------
 # Host-side plan
 # ---------------------------------------------------------------------------
@@ -50,12 +48,11 @@ CHUNK = 4096  # rows per schedule step; levels below this are padded (16384 meas
 
 @dataclass(frozen=True)
 class TreePlan:
-    """Host-computed layout/schedule for one batch signature.
+    """Host-computed layout for one batch signature.
 
-    Flat buffer regions: region 0 is the digest layer (height max_h, padded to
-    at least 2*CHUNK rows); region i >= 1 holds the size-(max_h >> i) level,
-    padded to at least CHUNK rows.  Every schedule step reads 2*CHUNK rows and
-    writes CHUNK compressed rows, so one scan body serves every level.
+    Flat buffer regions: region 0 is the digest layer (height max_h); region
+    i >= 1 holds the size-(max_h >> i) level.  `inject_levels` marks levels
+    whose size matches some smaller matrices' height (p3 compress-and-inject).
     """
 
     heights: Tuple[int, ...]  # per matrix, batch order
@@ -63,53 +60,31 @@ class TreePlan:
     log_max: int
     level_off: Tuple[int, ...]  # offset of level i (0 = digest layer)
     flat_len: int
-    # segments: ("steps", src offsets, dst offsets) | ("inject", height, level_idx)
-    segments: Tuple[tuple, ...]
+    inject_levels: Tuple[Tuple[int, int], ...]  # (level index, size)
 
 
 @lru_cache(maxsize=None)
 def make_plan(heights: Tuple[int, ...]) -> TreePlan:
     max_h = max(heights)
     log_max = max_h.bit_length() - 1
-    inject_sizes = sorted({h for h in heights if h != max_h}, reverse=True)
+    inject_sizes = {h for h in heights if h != max_h}
 
     level_off = [0]
-    off = max(max_h, 2 * CHUNK)
+    off = max_h
+    inject_levels: List[Tuple[int, int]] = []
     for i in range(1, log_max + 1):
         level_off.append(off)
-        off += max(max_h >> i, CHUNK)
-    flat_len = off if log_max >= 1 else max(max_h, 2 * CHUNK)
-
-    segments: List[tuple] = []
-    src_run: List[int] = []
-    dst_run: List[int] = []
-
-    def flush():
-        nonlocal src_run, dst_run
-        if src_run:
-            segments.append(
-                ("steps", np.asarray(src_run, np.int32), np.asarray(dst_run, np.int32))
-            )
-            src_run, dst_run = [], []
-
-    for i in range(1, log_max + 1):
-        s = max_h >> i
-        n = max(s // CHUNK, 1)
-        for j in range(n):
-            src_run.append(level_off[i - 1] + j * 2 * CHUNK)
-            dst_run.append(level_off[i] + j * CHUNK)
-        if s in inject_sizes:
-            flush()
-            segments.append(("inject", s, i))
-    flush()
+        off += max_h >> i
+        if (max_h >> i) in inject_sizes:
+            inject_levels.append((i, max_h >> i))
 
     return TreePlan(
         heights=tuple(heights),
         max_h=max_h,
         log_max=log_max,
         level_off=tuple(level_off),
-        flat_len=flat_len,
-        segments=tuple(segments),
+        flat_len=off,
+        inject_levels=tuple(inject_levels),
     )
 
 
@@ -183,52 +158,19 @@ def build_tree_traced(
     the root lives at row plan.level_off[plan.log_max] (or row 0 when the
     batch is a single-row matrix).
     """
+    inject = dict(plan.inject_levels)
     flat = jnp.zeros((plan.flat_len, 8), dtype=jnp.uint32)
     flat = jax.lax.dynamic_update_slice(flat, digests_by_height[plan.max_h], (0, 0))
-
-    def step(buf, offs):
-        src, dst = offs
-        src = jnp.asarray(src, jnp.int32)
-        dst = jnp.asarray(dst, jnp.int32)
-        zero = jnp.int32(0)
-        block = jax.lax.dynamic_slice(buf, (src, zero), (2 * CHUNK, 8))
-        out = p2.permute(block.reshape(CHUNK, 16))[:, :8]
-        return jax.lax.dynamic_update_slice(buf, out, (dst, zero)), None
-
-    for seg in plan.segments:
-        if seg[0] == "steps":
-            src, dst = seg[1], seg[2]
-            if len(src) == 1:
-                flat, _ = step(flat, (int(src[0]), int(dst[0])))
-            else:
-                flat, _ = jax.lax.scan(
-                    step, flat, (jnp.asarray(src), jnp.asarray(dst))
-                )
-        else:
-            _, size, i = seg
-            inj = digests_by_height[size]
-            n = max(size // CHUNK, 1)
-            if size < CHUNK:
-                inj = jnp.pad(inj, ((0, CHUNK - size), (0, 0)))
-            off = plan.level_off[i]
-
-            def inj_step(buf, args):
-                o, inj_j = args
-                o = jnp.asarray(o, jnp.int32)
-                zero = jnp.int32(0)
-                cur = jax.lax.dynamic_slice(buf, (o, zero), (CHUNK, 8))
-                out = p2.permute(jnp.concatenate([cur, inj_j], axis=1))[:, :8]
-                return jax.lax.dynamic_update_slice(buf, out, (o, zero)), None
-
-            if n == 1:
-                flat, _ = inj_step(flat, (off, inj))
-            else:
-                offs = jnp.asarray(
-                    np.arange(n, dtype=np.int32) * CHUNK + off, jnp.int32
-                )
-                flat, _ = jax.lax.scan(
-                    inj_step, flat, (offs, inj.reshape(n, CHUNK, 8))
-                )
+    prev = digests_by_height[plan.max_h]
+    for i in range(1, plan.log_max + 1):
+        s = plan.max_h >> i
+        out = p2.permute(prev.reshape(s, 16))[:, :8]
+        if i in inject:
+            out = p2.permute(
+                jnp.concatenate([out, digests_by_height[inject[i]]], axis=1)
+            )[:, :8]
+        flat = jax.lax.dynamic_update_slice(flat, out, (plan.level_off[i], 0))
+        prev = out
     return flat
 
 

@@ -102,12 +102,62 @@ def _lde_traced(evals, log_n: int, aux: dict, spkey):
 
 
 # The commit is split into one program PER HEIGHT GROUP (all matrices whose
-# LDEs share a height: iNTT -> LDE -> chunk-scanned bit-reversed digest
+# LDEs share a height: iNTT -> LDE -> whole-level bit-reversed digest
 # layer) plus one small tree-walk program over the digest layers.  Round-4
 # memory lesson: a single fused program's working set at 2^22 rows (~7 GB
 # with the bit-reversed gather temps) exceeded the chip's fast capacity;
 # the split bounds each program's peak to ~inputs+outputs while the extra
 # dispatches stay asynchronous (no added host round trips).
+#
+# Round-5 addition: at huge heights (LDE >= 2^ZKBF_BLK_LOG rows, default
+# 2^23 - the 2^22-cycle north-star scale) even ONE matrix's fused
+# iNTT->LDE transform is too big: the NTT stage ping-pong holds ~3x the
+# LDE (a 31-column CPU-chip LDE at 2^23 rows peaked ~4 GB and OOM'd the
+# shared chip, BENCH_r04/r05 probes).  Those groups run BLOCKED: one
+# program per <=ZKBF_BLK_W-column slice (peak ~5x the block), then a cheap
+# concat to the monolithic LDE storage every downstream consumer expects.
+
+
+def _blk_cfg() -> Tuple[int, int]:
+    import os
+
+    return (
+        int(os.environ.get("ZKBF_BLK_LOG", "23")),
+        int(os.environ.get("ZKBF_BLK_W", "8")),
+    )
+
+
+@lru_cache(maxsize=None)
+def _lde_block_program(log_n: int, shift: int, width: int, c0: int, c1: int):
+    """One column-block LDE: slices cols [c0, c1) of the (2^log_n, width)
+    eval matrix inside the program (static bounds - no host-side copy) and
+    returns the (2^(log_n+1), c1-c0) LDE block."""
+
+    def impl(evals, aux):
+        block = jax.lax.slice(evals, (0, c0), (evals.shape[0], c1))
+        _c, lde = _lde_traced(block, log_n, aux, (shift, log_n))
+        return lde
+
+    from ..utils.aot import jit_aot
+
+    return jit_aot(("ldeblk", log_n, shift, width, c0, c1), impl)
+
+
+@lru_cache(maxsize=None)
+def _digest_program(gsig: tuple):
+    """Digest layer for one height group from already-computed LDEs."""
+    log_lde = gsig[0][0] + LOG_BLOWUP
+
+    def impl(ldes, rev):
+        return mk.digest_layer_bitrev_scan(list(ldes), rev)
+
+    from ..utils.aot import jit_aot
+
+    return jit_aot(("digestg", gsig), impl)
+
+
+def _blocked_spans(width: int, bw: int):
+    return [(c0, min(c0 + bw, width)) for c0 in range(0, width, bw)]
 
 
 @lru_cache(maxsize=None)
@@ -175,11 +225,23 @@ def warm_commit(sig: tuple, donate_inputs: bool = False) -> None:
     """Compile (without executing) the commit programs for `sig`."""
     from ..utils.aot import sds
 
+    blk_log, blk_w = _blk_cfg()
     heights = tuple(1 << (ln + LOG_BLOWUP) for ln, _, _ in sig)
     for log_lde, members in _group_sigs(sig):
         gsig = tuple(ms for _i, ms in members)
-        mats = tuple(sds((1 << ln, w)) for ln, _s, w in gsig)
-        _group_commit_program(gsig, donate_inputs).warm(mats, _commit_aux(gsig))
+        if log_lde >= blk_log:
+            for log_n, shift, w in gsig:
+                for c0, c1 in _blocked_spans(w, blk_w):
+                    _lde_block_program(log_n, shift, w, c0, c1).warm(
+                        sds((1 << log_n, w)), _commit_aux(((log_n, shift, w),))
+                    )
+            _digest_program(gsig).warm(
+                tuple(sds((1 << log_lde, w)) for _ln, _s, w in gsig),
+                _rev_dev(log_lde),
+            )
+        else:
+            mats = tuple(sds((1 << ln, w)) for ln, _s, w in gsig)
+            _group_commit_program(gsig, donate_inputs).warm(mats, _commit_aux(gsig))
     _plan, tree_fn = _tree_program(heights)
     tree_fn.warm({1 << ll: sds((1 << ll, 8)) for ll, _m in _group_sigs(sig)})
 
@@ -202,17 +264,37 @@ def pcs_commit(
     )
     heights = tuple(1 << (ln + LOG_BLOWUP) for ln, _, _ in sig)
 
+    blk_log, blk_w = _blk_cfg()
     ldes: list = [None] * len(sig)
     digests: Dict[int, jnp.ndarray] = {}
     for log_lde, members in _group_sigs(sig):
         gsig = tuple(ms for _i, ms in members)
-        fn = _group_commit_program(gsig, donate_inputs)
-        g_ldes, digest = fn(
-            tuple(evals[i] for i, _ms in members), _commit_aux(gsig)
-        )
-        for (i, _ms), l in zip(members, g_ldes):
-            ldes[i] = l
-        digests[1 << log_lde] = digest
+        if log_lde >= blk_log:
+            # Blocked path: one dispatch per column block bounds the NTT
+            # ping-pong transient to ~5x the block instead of ~3x the LDE.
+            for i, (log_n, shift, w) in members:
+                aux1 = _commit_aux(((log_n, shift, w),))
+                blocks = [
+                    _lde_block_program(log_n, shift, w, c0, c1)(evals[i], aux1)
+                    for c0, c1 in _blocked_spans(w, blk_w)
+                ]
+                ldes[i] = (
+                    blocks[0]
+                    if len(blocks) == 1
+                    else jnp.concatenate(blocks, axis=1)
+                )
+                del blocks
+            digests[1 << log_lde] = _digest_program(gsig)(
+                tuple(ldes[i] for i, _ms in members), _rev_dev(log_lde)
+            )
+        else:
+            fn = _group_commit_program(gsig, donate_inputs)
+            g_ldes, digest = fn(
+                tuple(evals[i] for i, _ms in members), _commit_aux(gsig)
+            )
+            for (i, _ms), l in zip(members, g_ldes):
+                ldes[i] = l
+            digests[1 << log_lde] = digest
 
     plan, tree_fn = _tree_program(heights)
     flat, root_dev = tree_fn(digests)
@@ -231,16 +313,10 @@ def pcs_commit(
 # ---------------------------------------------------------------------------
 
 
-def _fsum_rows(x):
-    """Exact mod-p sum over axis 0 by pairwise tree reduction."""
-    n = x.shape[0]
-    while n > 1:
-        if n % 2 == 1:
-            x = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
-            n += 1
-        x = xf.fadd(x[0::2], x[1::2])
-        n = x.shape[0]
-    return x[0]
+# Exact mod-p sum over axis 0 (power-of-two heights): native split-sum
+# reductions (ops/field.fsum_rows) - the former pairwise fadd tree ran at
+# 1.5-8 GB/s on TPU vregs, this at ~20 GB/s (round-5 kernel measurement).
+_fsum_rows = xf.fsum_rows
 
 
 # ---------------------------------------------------------------------------
@@ -305,8 +381,23 @@ def _open_eval_program(sig: tuple):
                 # w_i = x_i * inv(x_i - z), EF planes
                 weight_cache[key] = xe.emul_base(xe.einv(xz), xm)
             w = weight_cache[key]
-            cat = jnp.concatenate([ldes[(r, i)] for r, i, _pi in members], axis=1)
-            acc = tuple(_fsum_rows(xf.fmul(cat, w[t][:, None])) for t in range(4))
+            # per-member column sums (concatenating member LDEs materialized
+            # a full-height copy of the whole group - GBs at 2^22 rows; the
+            # raw sums are (W, 4), so concatenate RESULTS instead)
+            accs = [
+                tuple(
+                    _fsum_rows(xf.fmul(ldes[(r, i)], w[t][:, None]))
+                    for t in range(4)
+                )
+                for r, i, _pi in members
+            ]
+            acc = (
+                accs[0]
+                if len(accs) == 1
+                else tuple(
+                    jnp.concatenate([a[t] for a in accs]) for t in range(4)
+                )
+            )
             outs.append(xf.from_monty(jnp.stack(acc, axis=-1)))
         return tuple(outs)
 
@@ -357,12 +448,13 @@ def _ro_program(sig: tuple):
                     tuple(jnp.broadcast_to(z_dev[t], xm.shape) for t in range(4)),
                 )
                 inv_cache[key] = xe.einv(xz)
-            cat = jnp.concatenate(
-                [ldes[(r, i)] for r, i, _pi, _w in members], axis=1
-            )
-            ap = jax.lax.dynamic_slice_in_dim(alpha_pows, c0, w_total)
+            off = c0
+            pairs = []
+            for r, i, _pi, w in members:
+                pairs.append((ldes[(r, i)], alpha_pows[off : off + w]))
+                off += w
             ro[log_h] = _ro_accum_traced(
-                ro[log_h], cat, ap, s_vals[g], inv_cache[key]
+                ro[log_h], pairs, s_vals[g], inv_cache[key]
             )
         return {log_h: xe.to_array(v) for log_h, v in ro.items()}
 
@@ -571,31 +663,28 @@ def _lde_points_host(log_h: int) -> np.ndarray:
     return Domain(log_h, GENERATOR).points_host()
 
 
-def _ro_accum_traced(ro, lde, alpha_pows_canon, s_canon, inv_xz):
+def _ro_accum_traced(ro, mats_and_aps, s_canon, inv_xz):
     """ro += (sum_k alpha^k f_k(x) - S) / (x - z), traced inline.
 
-    ro/inv_xz: EF plane tuples of (h,); alpha_pows_canon (w,4); s_canon (4,).
+    mats_and_aps: list of (lde (h, w), alpha_pows_canon (w, 4)) member
+    matrices sharing the (height, point) group - summed WITHOUT concatenating
+    the member LDEs (a full-height group copy is GBs at 2^22 rows).
+    ro/inv_xz: EF plane tuples of (h,); s_canon (4,).
     The alpha-weighted column fold is 4 whole-matrix mod-p multiplies plus a
     pairwise tree reduction (constant-size traced graph in the width).
     """
-    h, w = lde.shape
-    ap = xf.to_monty(alpha_pows_canon)  # (w, 4)
-    a = tuple(_fsum_cols(xf.fmul(lde, ap[None, :, t])) for t in range(4))
+    h = mats_and_aps[0][0].shape[0]
+    a = None
+    for lde, ap_canon in mats_and_aps:
+        ap = xf.to_monty(ap_canon)  # (w, 4)
+        part = tuple(_fsum_cols(xf.fmul(lde, ap[None, :, t])) for t in range(4))
+        a = part if a is None else xe.eadd(a, part)
     s_dev = xe.from_array(xf.to_monty(s_canon))
     diff = xe.esub(a, tuple(jnp.broadcast_to(s_dev[t], (h,)) for t in range(4)))
     return xe.eadd(ro, xe.emul(diff, inv_xz))
 
 
-def _fsum_cols(x):
-    """Exact mod-p sum over the last axis by pairwise tree reduction."""
-    n = x.shape[-1]
-    while n > 1:
-        if n % 2 == 1:
-            x = jnp.concatenate([x, jnp.zeros_like(x[..., :1])], axis=-1)
-            n += 1
-        x = xf.fadd(x[..., 0::2], x[..., 1::2])
-        n = x.shape[-1]
-    return x[..., 0]
+_fsum_cols = xf.fsum_small  # exact mod-p sum over the (small) last axis
 
 
 # ---------------------------------------------------------------------------

@@ -77,15 +77,8 @@ def constraint_ext_flags(chip: Chip):
 
 
 def _fsum_axis0(x):
-    """Exact mod-p sum over axis 0 by pairwise tree reduction."""
-    n = x.shape[0]
-    while n > 1:
-        if n % 2 == 1:
-            x = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
-            n += 1
-        x = xf.fadd(x[0::2], x[1::2])
-        n = x.shape[0]
-    return x[0]
+    """Exact mod-p sum over the (small) constraint axis: native split-sum."""
+    return xf.fsum_small(x, axis=0)
 
 
 def _quotient_chunk(
@@ -169,45 +162,72 @@ def _quotient_chunk(
 
 
 @lru_cache(maxsize=None)
-def _quotient_program(chip_key, n_chunks: int, next_step: int, has_prep: bool):
+def _quotient_program(
+    chip_key, n_chunks: int, next_step: int, has_prep: bool, carry_next: bool
+):
     """Scan program per (chip, chunk count): the constraint graph is traced
-    once as the scan body; selectors and rolled next-row copies stream in as
-    scan inputs."""
+    once as the scan body.
+
+    carry_next (the pad == 0 case): next-row matrices are NOT materialized
+    as rolled copies of the full coset (at 2^22 rows the main+perm rolls
+    were ~2.2 GB of pure copy - the round-5 OOM lever); instead the scan
+    runs in REVERSE carrying each chunk's first `next_step` rows, so chunk i
+    assembles its shifted rows from its own tail plus chunk i+1's head (the
+    wraparound head being chunk 0's).  With pad != 0 there is exactly one
+    padded chunk and the host passes tiny rolled copies as before."""
     chip = _CHIP_BY_KEY[chip_key]
     name = chip.name
 
     def impl(chunks, alpha_m, bp, base_w, ext_w, csum):
-        def body(_, xs):
+        carried = ["main", "perm"] + (["prep"] if has_prep else [])
+
+        def eval_chunk(xs, nxt):
             sels = {
                 "is_first_row": xs["first"],
                 "is_last_row": xs["last"],
                 "is_transition": xs["trans"],
                 "inv_zeroifier": xs["invz"],
             }
-            out = _quotient_chunk(
+            return _quotient_chunk(
                 chip,
                 sels,
                 xs.get("prep"),
-                xs.get("prep_next"),
+                nxt.get("prep"),
                 xs["main"],
-                xs["main_next"],
+                nxt["main"],
                 xs["perm"],
-                xs["perm_next"],
+                nxt["perm"],
                 alpha_m,
                 bp,
                 base_w,
                 ext_w,
                 csum,
             )
-            return None, out
 
-        _, outs = jax.lax.scan(body, None, chunks)
+        if not carry_next:
+            def body(_, xs):
+                nxt = {k: xs[k + "_next"] for k in carried}
+                return None, eval_chunk(xs, nxt)
+
+            _, outs = jax.lax.scan(body, None, chunks)
+            return outs.reshape(-1, 4)
+
+        def body(heads, xs):
+            nxt = {
+                k: jnp.concatenate([xs[k][next_step:], heads[k]], axis=0)
+                for k in carried
+            }
+            new_heads = {k: xs[k][:next_step] for k in carried}
+            return new_heads, eval_chunk(xs, nxt)
+
+        init = {k: chunks[k][0, :next_step] for k in carried}
+        _, outs = jax.lax.scan(body, init, chunks, reverse=True)
         return outs.reshape(-1, 4)
 
     from ..utils.aot import jit_aot
 
     return jit_aot(
-        ("quotient", name, n_chunks, next_step, has_prep),
+        ("quotient", name, n_chunks, next_step, has_prep, carry_next),
         impl,
         # the traced graph runs the captured chip's eval (models/) lowered
         # through the device folder (stark/builder.py)
@@ -230,21 +250,26 @@ def warm_quotient(chip, trace_log_n: int, prep_width) -> None:
     from .permutation import _interactions
 
     max_vals = max(len(lk.values) for lk, _ in _interactions(chip))
+    carry_next = pad == 0
     chunks = {
         "first": sds((n_chunks, CHUNK_Q)),
         "last": sds((n_chunks, CHUNK_Q)),
         "trans": sds((n_chunks, CHUNK_Q)),
         "invz": sds((n_chunks, CHUNK_Q)),
         "main": sds((n_chunks, CHUNK_Q, chip.width)),
-        "main_next": sds((n_chunks, CHUNK_Q, chip.width)),
         "perm": sds((n_chunks, CHUNK_Q, chip.permutation_width * 4)),
-        "perm_next": sds((n_chunks, CHUNK_Q, chip.permutation_width * 4)),
     }
+    if not carry_next:
+        chunks["main_next"] = sds((n_chunks, CHUNK_Q, chip.width))
+        chunks["perm_next"] = sds((n_chunks, CHUNK_Q, chip.permutation_width * 4))
     if prep_width:
         chunks["prep"] = sds((n_chunks, CHUNK_Q, prep_width))
-        chunks["prep_next"] = sds((n_chunks, CHUNK_Q, prep_width))
+        if not carry_next:
+            chunks["prep_next"] = sds((n_chunks, CHUNK_Q, prep_width))
     _CHIP_BY_KEY[id(chip)] = chip
-    _quotient_program(id(chip), n_chunks, next_step, bool(prep_width)).warm(
+    _quotient_program(
+        id(chip), n_chunks, next_step, bool(prep_width), carry_next
+    ).warm(
         chunks,
         sds((4,)),
         sds((max_vals + 1, 4)),
@@ -304,16 +329,23 @@ def quotient_values(
         "trans": chunked(sels_dev["is_transition"]),
         "invz": chunked(sels_dev["inv_zeroifier"]),
         "main": chunked(main_on_coset),
-        "main_next": chunked(jnp.roll(main_on_coset, -next_step, axis=0)),
         "perm": chunked(perm_on_coset),
-        "perm_next": chunked(jnp.roll(perm_on_coset, -next_step, axis=0)),
     }
+    carry_next = pad == 0
+    if not carry_next:  # single small padded chunk: tiny rolled copies
+        chunks["main_next"] = chunked(jnp.roll(main_on_coset, -next_step, axis=0))
+        chunks["perm_next"] = chunked(jnp.roll(perm_on_coset, -next_step, axis=0))
     if prep_on_coset is not None:
         chunks["prep"] = chunked(prep_on_coset)
-        chunks["prep_next"] = chunked(jnp.roll(prep_on_coset, -next_step, axis=0))
+        if not carry_next:
+            chunks["prep_next"] = chunked(
+                jnp.roll(prep_on_coset, -next_step, axis=0)
+            )
 
     _CHIP_BY_KEY[id(chip)] = chip
-    fn = _quotient_program(id(chip), n_chunks, next_step, prep_on_coset is not None)
+    fn = _quotient_program(
+        id(chip), n_chunks, next_step, prep_on_coset is not None, carry_next
+    )
     qvals = fn(
         chunks,
         xf.to_monty(jnp.asarray(np.array(perm_challenges_host[0], np.uint32))),

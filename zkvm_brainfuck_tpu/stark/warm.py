@@ -59,6 +59,14 @@ def warm_prove_programs(pk, chips, log_degrees, config) -> list:
     from .permutation import warm_permutation
     from .quotient import warm_quotient
 
+    import jax
+
+    # XLA:CPU segfaults under concurrent multi-thread compilation (see
+    # utils/aot.py _cpu_compile_lock); on the CPU backend warm-ups run
+    # INLINE - same compiles, zero thread overlap with the main pipeline.
+    # The tunneled-TPU backend keeps the concurrent pool (compiles there are
+    # server-side RPCs that overlap the serial transcript).
+    inline = jax.default_backend() == "cpu"
     futures = []
 
     def submit(name, fn, *args):
@@ -70,7 +78,10 @@ def warm_prove_programs(pk, chips, log_degrees, config) -> list:
             except Exception as e:  # warm-up must never break the prover
                 log.warning("warm %s failed: %s", name, e)
 
-        futures.append(_pool().submit(run))
+        if inline:
+            run()
+        else:
+            futures.append(_pool().submit(run))
 
     prep_width = {}
     for name, idx in pk.chip_ordering.items():

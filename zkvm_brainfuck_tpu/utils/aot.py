@@ -301,7 +301,10 @@ def aot_compile(key, build: Callable[[], Callable], example_args: Sequence, vers
         log.debug("aot: built %r in %.3fs", key, time.time() - t0)
 
     t0 = time.time()
-    compiled = jax.jit(exported.call, donate_argnums=donate).lower(*shapes).compile()
+    with _compile_guard():
+        compiled = (
+            jax.jit(exported.call, donate_argnums=donate).lower(*shapes).compile()
+        )
     log.debug("aot: compiled %r in %.3fs", key, time.time() - t0)
 
     def wrapper(*args):
@@ -342,6 +345,30 @@ def _rewrap(flat_jit, out_tree_cell, in_tree):
 
 
 import threading
+
+# XLA:CPU's backend_compile_and_load SEGFAULTS under concurrent compilation
+# from multiple threads once a process has compiled enough programs
+# (reproduced round 5: warm_fri thread racing the main pipeline ~160
+# programs into a serial pytest run; the round-4 host-fingerprinted-cache
+# "fix" did not address it).  On the CPU backend all compiles take one
+# process-wide lock; TPU compiles are server-side RPCs with no such race
+# and keep their concurrency.
+_cpu_compile_lock = threading.Lock()
+
+
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def _compile_guard():
+    import jax
+
+    return _cpu_compile_lock if jax.default_backend() == "cpu" else _NullCtx()
+
 
 _locks_guard = threading.Lock()
 _locks: dict = {}
