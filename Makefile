@@ -3,12 +3,13 @@ PY ?= python
 
 .PHONY: test test-fast lint fmt bench native audit
 
-# -n 2: two xdist workers - besides wall-clock, this CONTAINS a known
-# XLA:CPU compiler segfault that only manifests ~160 compiled programs deep
-# into a single long-lived process (worker crashes surface as test failures
-# and the run continues; serial runs die mid-suite with no summary).
+# -n 2: two xdist workers, purely for wall-clock.  The long-standing
+# mid-suite segfaults were XLA:CPU persistent-cache DESERIALIZATION crashes
+# (round-5 root-cause; reproduced with fresh caches, matching machine
+# features, and an AVX2 ISA cap) - fixed by disabling the CPU persistent
+# compilation cache (utils/jax_setup.py; ZKBF_CPU_CACHE=1 re-enables).
 test:
-	$(PY) -m pytest tests/ -q -n 2
+	$(PY) -m pytest tests/ -q -n 2 --dist loadfile
 	# MANDATORY: the production-FRI-config e2e (84 queries, 16 PoW bits) -
 	# the only continuous coverage of production opening shapes
 	$(PY) -m pytest tests/test_debug_and_adversarial.py::test_full_production_fri_config -x -q

@@ -117,7 +117,7 @@ def emit(cycles, elapsed, phase, extra=None):
 # live until the query gathers).  The tunneled chip's FREE HBM fluctuates
 # with other tenants, so big rungs probe for headroom first and defer
 # instead of dying.
-RUNG_PEAK_GB = {22: 7.2, 20: 2.0}
+RUNG_PEAK_GB = {22: 5.0, 20: 2.0}  # 2^22 runs LOW-MEMORY (ZKBF_LOWMEM auto): ~4.5 GB peak
 
 
 def hbm_headroom_ok(need_gb: float) -> bool:

@@ -14,7 +14,15 @@ import sys
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # XLA:CPU on this host emits AMX/AVX512 executables that its own AOT
+    # loader then refuses ("+prefer-no-scatter ... could lead to SIGILL")
+    # and SEGFAULTS deserializing from the persistent cache (round-5 root
+    # cause of the mid-suite crashes).  Capping the ISA keeps every cached
+    # executable loadable; tests don't need AVX512 throughput.
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -135,10 +135,12 @@ def test_sharded_intermediates_stay_sharded():
 
 
 def test_multihost_dryrun_subprocess():
-    """Multi-process (fake multi-host) dryrun: the same shard_map pipeline
-    across 2 OS processes x 4 CPU devices with jax.distributed - the DCN
-    stand-in this image allows (SURVEY §5.8 / §7 step 10).  Opt-out with
-    ZKBF_SKIP_MULTIHOST=1 (it costs ~2-4 min of subprocess time)."""
+    """Multi-process (fake multi-host) dryrun of the REAL prover: 
+    ProverClient.setup/prove/verify across 2 OS processes x 4 CPU devices
+    with jax.distributed, proof bytes asserted equal to the single-process
+    84-query golden fixture - the DCN stand-in this image allows
+    (SURVEY §5.8 / §7 step 10, VERDICT r4 item 3).  Opt-out with
+    ZKBF_SKIP_MULTIHOST=1 (it costs minutes of subprocess time)."""
     import subprocess
     import sys
 
@@ -151,7 +153,7 @@ def test_multihost_dryrun_subprocess():
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "multihost_dryrun.py")],
-        capture_output=True, text=True, timeout=600, env=env,
+        capture_output=True, text=True, timeout=1500, env=env,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "MULTIHOST OK" in out.stdout

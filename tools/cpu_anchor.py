@@ -21,6 +21,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+from zkvm_brainfuck_tpu.utils.jax_setup import ensure_cpu_isa_cap
+
+ensure_cpu_isa_cap()
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

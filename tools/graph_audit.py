@@ -14,6 +14,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
+from zkvm_brainfuck_tpu.utils.jax_setup import ensure_cpu_isa_cap
+
+ensure_cpu_isa_cap()
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -1,22 +1,21 @@
-"""Multi-process (fake multi-host) dryrun: the DCN stand-in this image allows.
+"""Multi-process (fake multi-host) dryrun of the REAL prover.
 
 SURVEY.md §5.8 / §7 step 10 call for "then multi-host (DCN) on the same
 shard_map code".  Real multi-host TPU is unavailable here, so this runs the
-SAME pipeline across N separate Python PROCESSES with
-`jax.distributed.initialize` over local CPU backends - process boundaries
-stand in for hosts, and every collective the row-mesh uses (psum,
-all_gather, ppermute) crosses them.
+REAL pipeline - `ProverClient.setup/prove/verify` with the row mesh active -
+across N separate Python PROCESSES with `jax.distributed.initialize` over
+local CPU backends: process boundaries stand in for hosts, and every
+collective the sharded prover needs (all-gathers for transcript reads,
+GSPMD-inserted collectives inside commits/LogUp/quotient/FRI) crosses them.
+
+The proof each worker assembles must be BYTE-IDENTICAL to the committed
+single-process golden fixture `tests/golden/proof_printa_q84.bin` (the
+production 84-query config, `printa` guest) - the strongest cross-process
+correctness check available without a second toolchain.
 
 Usage:
     python tools/multihost_dryrun.py            # 2 processes x 4 devices
     python tools/multihost_dryrun.py N_PROCS DEVS_PER_PROC
-
-Parent spawns the workers and waits; each worker:
-- initializes jax.distributed with a shared coordinator,
-- builds the GLOBAL 1-D rows mesh over all processes' devices,
-- runs the explicit-collective prove step (parallel/sharded.py) on a
-  row-sharded global array,
-- process 0 checks the results against a single-process reference.
 
 Exit code 0 + "MULTIHOST OK" on stdout = success.
 """
@@ -30,6 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 PORT = int(os.environ.get("ZKBF_MH_PORT", "52435"))
+GOLDEN = os.path.join(REPO, "tests", "golden", "proof_printa_q84.bin")
 
 
 def worker(proc_id: int, n_procs: int, devs_per_proc: int) -> None:
@@ -37,6 +37,10 @@ def worker(proc_id: int, n_procs: int, devs_per_proc: int) -> None:
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={devs_per_proc}"
     ).strip()
+    from zkvm_brainfuck_tpu.utils.jax_setup import ensure_cpu_isa_cap
+
+    ensure_cpu_isa_cap()
+    os.environ["FRI_QUERIES"] = "84"  # the golden fixture's config
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -46,71 +50,44 @@ def worker(proc_id: int, n_procs: int, devs_per_proc: int) -> None:
         process_id=proc_id,
     )
     import numpy as np
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from zkvm_brainfuck_tpu.ops import field as xf
+    from zkvm_brainfuck_tpu.utils.jax_setup import (
+        enable_compilation_cache,
+        enable_cpu_fast_field,
+    )
+
+    enable_compilation_cache()
+    enable_cpu_fast_field()
+
+    from jax.sharding import Mesh
+
+    from zkvm_brainfuck_tpu import ProverClient
     from zkvm_brainfuck_tpu.parallel.mesh import ROWS_AXIS
-    from zkvm_brainfuck_tpu.parallel.sharded import sharded_prove_step
+    from zkvm_brainfuck_tpu.stark import prover as stark_prover
+    from zkvm_brainfuck_tpu.stark.serial import encode_shard_proof
+    from zkvm_brainfuck_tpu.test_artifacts import PRINTA_BF
 
     n_dev = n_procs * devs_per_proc
     assert len(jax.devices()) == n_dev, (len(jax.devices()), n_dev)
     mesh = Mesh(np.array(jax.devices()), (ROWS_AXIS,))
 
-    rows = 32 * n_dev
-    rng = np.random.default_rng(0)
-    trace_host = rng.integers(0, xf.P, size=(rows, 8), dtype=np.uint32)
-    alpha_host = rng.integers(0, xf.P, size=(4,), dtype=np.uint32)
-    beta_host = rng.integers(0, xf.P, size=(4,), dtype=np.uint32)
+    stark_prover.set_shard_mesh(mesh)
+    try:
+        client = ProverClient()
+        pk, vk = client.setup(PRINTA_BF)
+        proof = client.prove(pk).run()
+        client.verify(proof, vk)
+    finally:
+        stark_prover.set_shard_mesh(None)
 
-    sharding = NamedSharding(mesh, P(ROWS_AXIS))
-    # Global array from identical per-process host data (standard multi-host
-    # pattern: every process holds the full logical array and contributes its
-    # addressable shards).
-    trace = jax.make_array_from_callback(
-        trace_host.shape, sharding, lambda idx: trace_host[idx]
+    got = encode_shard_proof(proof.proof.proof.shard_proof)
+    with open(GOLDEN, "rb") as fh:
+        want = fh.read()
+    assert got == want, (
+        f"proc {proc_id}: multi-process proof bytes differ from the "
+        f"single-process golden fixture ({len(got)} vs {len(want)} bytes)"
     )
-    repl = NamedSharding(mesh, P())
-    alpha = jax.make_array_from_callback(
-        alpha_host.shape, repl, lambda idx: alpha_host[idx]
-    )
-    beta = jax.make_array_from_callback(
-        beta_host.shape, repl, lambda idx: beta_host[idx]
-    )
-
-    import functools
-
-    step = jax.jit(functools.partial(sharded_prove_step, mesh))
-    root, cumulative, transition = step(trace, alpha, beta)
-    jax.block_until_ready((root, cumulative, transition))
-
-    # root / cumulative are replicated -> addressable everywhere
-    root_np = np.asarray(root)
-    cum_np = np.asarray(cumulative)
-
     if proc_id == 0:
-        # Single-device reference: Merkle root via host Poseidon2 + LogUp sum.
-        from zkvm_brainfuck_tpu.ops import poseidon2 as p2
-        from zkvm_brainfuck_tpu.stark import ef_host as efh
-
-        digests = p2.hash_np(trace_host)
-        level = digests
-        while level.shape[0] > 1:
-            level = p2.compress_np(level[0::2], level[1::2])
-        # sharded_prove_step returns Montgomery-form digests
-        got_root = [int(x) for x in xf.np_from_monty(root_np.astype(np.uint32))]
-        assert got_root == [int(x) for x in level[0]], "multihost Merkle root mismatch"
-        # LogUp cumulative sum reference
-        fp = np.zeros((rows,), dtype=np.uint64)
-        for c in range(trace_host.shape[1]):
-            fp = (fp * 257 + trace_host[:, c]) % xf.P
-        total = (0, 0, 0, 0)
-        a_t = tuple(int(x) for x in alpha_host)
-        b_t = tuple(int(x) for x in beta_host)
-        for v in fp:
-            denom = efh.add(a_t, efh.mul_base(b_t, int(v)))
-            total = efh.add(total, efh.inv(denom))
-        got = tuple(int(x) for x in xf.np_from_monty(cum_np.astype(np.uint32)))
-        assert got == total, f"multihost LogUp sum mismatch: {got} != {total}"
         print("MULTIHOST OK", flush=True)
 
 
@@ -128,7 +105,7 @@ def main() -> None:
                 stdout=None if pid == 0 else subprocess.DEVNULL,
             )
         )
-    deadline = time.time() + 600
+    deadline = time.time() + 1800
     rc = 0
     for p in procs:
         try:

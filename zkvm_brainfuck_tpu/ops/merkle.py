@@ -284,7 +284,7 @@ def open_batch_device(tree: MerkleTree, indices: np.ndarray):
             from . import ntt as nt
 
             rows = nt.bit_reversal_perm(log_h)[rows]
-        opened.append(f.from_monty(m[jnp.asarray(rows)]))
+        opened.append(f.from_monty(m[jnp.asarray(rows, jnp.int32)]))
 
     if plan.log_max == 0:
         return opened, jnp.zeros((q, 0, 8), jnp.uint32)
@@ -339,7 +339,10 @@ def open_many_device(trees: Sequence[MerkleTree], indices_list):
             r = indices >> (plan.log_max - log_h)
             if tree.bitrev:
                 r = nt.bit_reversal_perm(log_h)[r]
-            rows.append(jnp.asarray(r))
+            # int32 pin: index dtype must not depend on the x64 flag
+            # (AOT export signatures key on shapes; a dtype flip between
+            # processes poisons the disk cache)
+            rows.append(jnp.asarray(r, jnp.int32))
         if plan.log_max > 0:
             sibs = sibling_flat_indices(plan, indices)
         else:
@@ -349,7 +352,7 @@ def open_many_device(trees: Sequence[MerkleTree], indices_list):
                 "mats": list(tree.matrices),
                 "flat": tree.flat,
                 "rows": rows,
-                "sibs": jnp.asarray(sibs),
+                "sibs": jnp.asarray(sibs, jnp.int32),
             }
         )
     sig = tuple(

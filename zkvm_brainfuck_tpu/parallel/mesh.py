@@ -80,6 +80,12 @@ def place_rows(arr):
             f"trace height {arr.shape[0]} not divisible by mesh size {n_dev}; "
             "row sharding requires power-of-two meshes <= 16 (make_row_mesh)"
         )
+    if any(d.process_index != jax.process_index() for d in mesh.devices.flat):
+        # multi-host: place from identical per-process HOST copies (every
+        # process generates the same deterministic traces)
+        import numpy as np
+
+        arr = np.asarray(arr)
     return jax.device_put(arr, NamedSharding(mesh, P(ROWS_AXIS)))
 
 

@@ -41,19 +41,44 @@ LOG_BLOWUP = 1
 @dataclass
 class PcsProverData:
     domains: List[Domain]
-    ldes: List[jnp.ndarray]  # LDE evals over GENERATOR*H_2n, natural, Monty
+    # LDE evals over GENERATOR*H_2n, natural, Monty - or None in LOW-MEMORY
+    # mode, where only the (half-size) source-domain eval matrices are kept
+    # and LDEs are recomputed blocked on demand (quotient phase, query-time
+    # tree rebuild).  The reduced openings are then built per source domain
+    # via the exact-quotient identity q = (g - g(z)) * inv(x - z) followed
+    # by a 4-column LDE - bit-identical values to the direct LDE-domain
+    # evaluation, at roughly half the resident bytes.
+    ldes: Optional[List]
     tree: mk.MerkleTree  # commits bit-reversed LDE rows
+    evals: Optional[List] = None  # kept ONLY in low-memory mode (Monty)
+    sig: Optional[tuple] = None  # per matrix (log_n, shift, width)
 
-    # NOTE: neither the original eval matrices nor coefficient matrices are
-    # retained: quotient/FRI/query openings read the LDEs, and opened values
-    # are evaluated BARYCENTRICALLY from the LDEs (_open_eval_program) - at
-    # 2^22 rows the coefficient copies alone were ~3 GB of HBM residency
-    # (round-4 capacity lesson: the tunneled chip's free HBM fluctuates
-    # with other tenants, so residency is survival, not just speed).
+    # NOTE: in the normal mode neither the original eval matrices nor
+    # coefficient matrices are retained: quotient/FRI/query openings read
+    # the LDEs, and opened values are evaluated BARYCENTRICALLY
+    # (_open_eval_group_program) - at 2^22 rows the coefficient copies alone
+    # were ~3 GB of HBM residency (round-4 capacity lesson: the tunneled
+    # chip's free HBM fluctuates with other tenants, so residency is
+    # survival, not just speed).
+
+    @property
+    def lowmem(self) -> bool:
+        return self.ldes is None
 
     @property
     def root(self) -> np.ndarray:
         return self.tree.root
+
+    def lde_blocks(self, i: int) -> List[jnp.ndarray]:
+        """Column-blocked LDE of matrix i (recomputed in low-memory mode)."""
+        if not self.lowmem:
+            return [self.ldes[i]]
+        log_n, shift, w = self.sig[i]
+        aux1 = _commit_aux(((log_n, shift, w),))
+        return [
+            _lde_block_program(log_n, shift, w, c0, c1)(self.evals[i], aux1)
+            for c0, c1 in _lde_spans(log_n, w)
+        ]
 
 
 # Device-resident argument tables (twiddle blobs, bit-reversal permutations,
@@ -80,24 +105,60 @@ def _lde_shift_pows_dev(shift: int, log_n: int) -> jnp.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _lde_points_dev(log_h: int) -> jnp.ndarray:
-    """(2^log_h,) MONTY domain points of the LDE coset GENERATOR*H, device."""
+def _domain_points_dev(log_m: int, shift: int) -> jnp.ndarray:
+    """(2^log_m,) MONTY domain points of the coset shift*H, device."""
     return jax.jit(
         lambda: xf.fmul(
-            nt.powers_traced(xf.two_adic_root(log_h), log_h),
-            jnp.uint32(xf.monty_of(GENERATOR)),
+            nt.powers_traced(xf.two_adic_root(log_m), log_m),
+            jnp.uint32(xf.monty_of(shift)),
         )
     )()
+
+
+def _lde_points_dev(log_h: int) -> jnp.ndarray:
+    """(2^log_h,) MONTY domain points of the LDE coset GENERATOR*H, device."""
+    return _domain_points_dev(log_h, GENERATOR)
+
+
+def _ntt_dispatch(x, tw, rev, log_n: int, inverse: bool):
+    """Local stage-loop NTT - or, when a device mesh is active, the
+    EXPLICIT-collective 4-step distributed NTT (3 all_to_alls).
+
+    Wire-or-retire decision (VERDICT r4 item 4), measured in
+    tools/ntt_dist_audit.py on the 8-device CPU mesh at 2^16 x 16: GSPMD
+    propagation of the stage loop inserts 675 collectives (445
+    collective-permutes - one per butterfly stage boundary); the explicit
+    4-step NTT needs 30 all_to_alls and ran 2.2x faster even on contended
+    virtual devices -> the mesh path now defaults to the explicit kernel
+    (bit-exact; tests/test_sharded.py).  ZKBF_GSPMD_NTT=1 reverts."""
+    import os
+
+    from ..parallel.mesh import current_mesh
+
+    mesh = current_mesh()
+    n = 1 << log_n
+    if (
+        mesh is not None
+        and os.environ.get("ZKBF_GSPMD_NTT") != "1"
+        and n >= mesh.devices.size ** 2
+        and n % mesh.devices.size == 0
+    ):
+        from ..parallel.sharded import sharded_ntt
+
+        orig = x.shape
+        out = sharded_ntt(mesh, x.reshape(n, -1), inverse=inverse)
+        return out.reshape(orig)
+    return nt.ntt_traced(x, tw, rev, log_n, inverse)
 
 
 def _lde_traced(evals, log_n: int, aux: dict, spkey):
     """intt -> shift-scale -> zero-pad -> ntt: one traced LDE (blowup 2)."""
     n = 1 << log_n
     log_lde = log_n + LOG_BLOWUP
-    c = nt.ntt_traced(evals, aux["inv"][log_n], aux["rev"][log_n], log_n, True) if log_n else evals
+    c = _ntt_dispatch(evals, aux["inv"][log_n], aux["rev"][log_n], log_n, True) if log_n else evals
     sc = xf.fmul(c, aux["sp"][spkey][:, None])
     padded = jnp.pad(sc, ((0, n * ((1 << LOG_BLOWUP) - 1)), (0, 0)))
-    lde = nt.ntt_traced(padded, aux["fwd"][log_lde], aux["rev"][log_lde], log_lde, False)
+    lde = _ntt_dispatch(padded, aux["fwd"][log_lde], aux["rev"][log_lde], log_lde, False)
     return c, lde
 
 
@@ -144,20 +205,49 @@ def _lde_block_program(log_n: int, shift: int, width: int, c0: int, c1: int):
 
 
 @lru_cache(maxsize=None)
-def _digest_program(gsig: tuple):
-    """Digest layer for one height group from already-computed LDEs."""
-    log_lde = gsig[0][0] + LOG_BLOWUP
+def _digest_program(log_lde: int, widths: tuple):
+    """Digest layer for one height group from already-computed LDE pieces
+    (monolithic matrices or column blocks - the sponge flattens columns in
+    order either way)."""
 
     def impl(ldes, rev):
         return mk.digest_layer_bitrev_scan(list(ldes), rev)
 
     from ..utils.aot import jit_aot
 
-    return jit_aot(("digestg", gsig), impl)
+    return jit_aot(("digestg", log_lde, widths), impl)
 
 
 def _blocked_spans(width: int, bw: int):
     return [(c0, min(c0 + bw, width)) for c0 in range(0, width, bw)]
+
+
+def _lde_spans(log_n: int, width: int):
+    """Column spans for one matrix's LDE programs: narrow blocks at heights
+    where the NTT ping-pong would blow the budget, one full-width span
+    otherwise."""
+    blk_log, blk_w = _blk_cfg()
+    if log_n + LOG_BLOWUP >= blk_log:
+        return _blocked_spans(width, blk_w)
+    return [(0, width)]
+
+
+def _lowmem_for(sig: tuple) -> bool:
+    """LOW-MEMORY commit mode: keep evals, drop LDEs + tree flats.
+
+    ZKBF_LOWMEM=1 forces it on (tests), =0 off; default engages when the
+    batch's tallest LDE reaches 2^ZKBF_LOWMEM_LOG rows (default 2^23 - the
+    2^22-cycle scale where all-rounds-live LDE residency exceeds the shared
+    chip's fluctuating free HBM; see BASELINE.md round-5 capacity notes)."""
+    import os
+
+    env = os.environ.get("ZKBF_LOWMEM", "")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    thr = int(os.environ.get("ZKBF_LOWMEM_LOG", "23"))
+    return max(ln + LOG_BLOWUP for ln, _s, _w in sig) >= thr
 
 
 @lru_cache(maxsize=None)
@@ -225,18 +315,21 @@ def warm_commit(sig: tuple, donate_inputs: bool = False) -> None:
     """Compile (without executing) the commit programs for `sig`."""
     from ..utils.aot import sds
 
+    lowmem = _lowmem_for(sig)
     blk_log, blk_w = _blk_cfg()
     heights = tuple(1 << (ln + LOG_BLOWUP) for ln, _, _ in sig)
     for log_lde, members in _group_sigs(sig):
         gsig = tuple(ms for _i, ms in members)
-        if log_lde >= blk_log:
+        if lowmem or log_lde >= blk_log:
+            widths = []
             for log_n, shift, w in gsig:
-                for c0, c1 in _blocked_spans(w, blk_w):
+                for c0, c1 in _lde_spans(log_n, w):
                     _lde_block_program(log_n, shift, w, c0, c1).warm(
                         sds((1 << log_n, w)), _commit_aux(((log_n, shift, w),))
                     )
-            _digest_program(gsig).warm(
-                tuple(sds((1 << log_lde, w)) for _ln, _s, w in gsig),
+                    widths.append(c1 - c0)
+            _digest_program(log_lde, tuple(widths)).warm(
+                tuple(sds((1 << log_lde, w)) for w in widths),
                 _rev_dev(log_lde),
             )
         else:
@@ -264,29 +357,40 @@ def pcs_commit(
     )
     heights = tuple(1 << (ln + LOG_BLOWUP) for ln, _, _ in sig)
 
+    lowmem = _lowmem_for(sig)
     blk_log, blk_w = _blk_cfg()
     ldes: list = [None] * len(sig)
+    lde_block_lists: Dict[int, list] = {}
     digests: Dict[int, jnp.ndarray] = {}
     for log_lde, members in _group_sigs(sig):
         gsig = tuple(ms for _i, ms in members)
-        if log_lde >= blk_log:
+        if lowmem or log_lde >= blk_log:
             # Blocked path: one dispatch per column block bounds the NTT
             # ping-pong transient to ~5x the block instead of ~3x the LDE.
+            group_blocks = []
             for i, (log_n, shift, w) in members:
                 aux1 = _commit_aux(((log_n, shift, w),))
                 blocks = [
                     _lde_block_program(log_n, shift, w, c0, c1)(evals[i], aux1)
-                    for c0, c1 in _blocked_spans(w, blk_w)
+                    for c0, c1 in _lde_spans(log_n, w)
                 ]
-                ldes[i] = (
-                    blocks[0]
-                    if len(blocks) == 1
-                    else jnp.concatenate(blocks, axis=1)
-                )
-                del blocks
-            digests[1 << log_lde] = _digest_program(gsig)(
-                tuple(ldes[i] for i, _ms in members), _rev_dev(log_lde)
-            )
+                lde_block_lists[i] = blocks
+                group_blocks.extend(blocks)
+                if not lowmem:
+                    ldes[i] = (
+                        blocks[0]
+                        if len(blocks) == 1
+                        else jnp.concatenate(blocks, axis=1)
+                    )
+            digests[1 << log_lde] = _digest_program(
+                log_lde, tuple(int(b.shape[1]) for b in group_blocks)
+            )(tuple(group_blocks), _rev_dev(log_lde))
+            # low-memory: the block LDEs die once the digest layer is
+            # computed (the dispatches above are async; freeing is by
+            # refcount, so drop every reference now)
+            del group_blocks
+            if lowmem:
+                lde_block_lists.clear()
         else:
             fn = _group_commit_program(gsig, donate_inputs)
             g_ldes, digest = fn(
@@ -298,12 +402,22 @@ def pcs_commit(
 
     plan, tree_fn = _tree_program(heights)
     flat, root_dev = tree_fn(digests)
+    if lowmem:
+        # Keep only the root + plan: the flat level buffer and LDEs are
+        # rebuilt at query time, one round at a time (pcs_open step 5).
+        tree = mk.MerkleTree(
+            matrices=None, plan=plan, flat=None, root=np.asarray(root_dev),
+            bitrev=True,
+        )
+        return tree.root, PcsProverData(
+            domains=domains, ldes=None, tree=tree, evals=list(evals), sig=sig
+        )
     tree = mk.MerkleTree(
         matrices=list(ldes), plan=plan, flat=flat, root=np.asarray(root_dev),
         bitrev=True,
     )
     data = PcsProverData(
-        domains=domains, ldes=list(ldes), tree=tree,
+        domains=domains, ldes=list(ldes), tree=tree, sig=sig,
     )
     return tree.root, data
 
@@ -339,84 +453,74 @@ class PcsProof:
     query_input_openings: List[List[BatchOpening]]
 
 
-@lru_cache(maxsize=None)
-def _open_eval_program(sig: tuple):
-    """ONE fused program for every opened-value evaluation in every round,
-    evaluated BARYCENTRICALLY from the LDEs (no coefficient matrices exist;
-    see PcsProverData).
-
-    For evaluations f(x_i) on the blowup coset g*H (|H| = N', g = GENERATOR):
-
-        f(z) = (z^N' - g^N')/(N' g^N') * sum_i f(x_i) * x_i / (z - x_i)
-
-    The device computes the raw sums S_c = sum_i f_c(x_i) * x_i * inv(x_i-z)
-    per (height, point) group (concatenating every member matrix's columns);
-    the host multiplies by the scalar factor -(z^N'-g^N')/(N' g^N') (the sign
-    folds inv(x_i-z) = -inv(z-x_i)).  The original domain's shift is
-    irrelevant - the values live on the GENERATOR coset after the LDE.
-
-    sig: per round, per matrix: (log_n, shift, width, tuple of z-indices).
-    Output: tuple of (W_group, 4) canonical RAW SUM arrays in group order.
-    """
+def _open_groups(sig: tuple):
     groups: Dict[tuple, list] = {}
     for r, mats in enumerate(sig):
         for i, (log_n, _shift, _w, zis) in enumerate(mats):
             log_h = log_n + LOG_BLOWUP
             for pi, zi in enumerate(zis):
                 groups.setdefault((log_h, zi), []).append((r, i, pi))
-    group_list = list(groups.items())
-
-    def impl(ldes, zs, pts):
-        outs = []
-        weight_cache = {}
-        for (log_h, zi), members in group_list:
-            key = (log_h, zi)
-            if key not in weight_cache:
-                xm = pts[log_h]
-                z_dev = xe.from_array(xf.to_monty(zs[zi]))
-                xz = xe.esub(
-                    xe.from_base(xm),
-                    tuple(jnp.broadcast_to(z_dev[t], xm.shape) for t in range(4)),
-                )
-                # w_i = x_i * inv(x_i - z), EF planes
-                weight_cache[key] = xe.emul_base(xe.einv(xz), xm)
-            w = weight_cache[key]
-            # per-member column sums (concatenating member LDEs materialized
-            # a full-height copy of the whole group - GBs at 2^22 rows; the
-            # raw sums are (W, 4), so concatenate RESULTS instead)
-            accs = [
-                tuple(
-                    _fsum_rows(xf.fmul(ldes[(r, i)], w[t][:, None]))
-                    for t in range(4)
-                )
-                for r, i, _pi in members
-            ]
-            acc = (
-                accs[0]
-                if len(accs) == 1
-                else tuple(
-                    jnp.concatenate([a[t] for a in accs]) for t in range(4)
-                )
-            )
-            outs.append(xf.from_monty(jnp.stack(acc, axis=-1)))
-        return tuple(outs)
-
-    from ..utils.aot import jit_aot
-
-    return group_list, jit_aot(("open_eval_bary", sig), impl)
+    return list(groups.items())
 
 
 @lru_cache(maxsize=None)
-def _ro_program(sig: tuple):
-    """ONE fused program building every per-height reduced opening.
+def _open_eval_group_program(domain_key: tuple, widths: tuple):
+    """Opened-value raw sums for ONE (evaluation domain, point) unit,
+    evaluated BARYCENTRICALLY from resident evaluations - the LDEs in normal
+    mode, the source-domain eval matrices in low-memory mode (the formula
+    only depends on the points `pts` actually passed; `domain_key` =
+    (log_m, shift) keys the compiled program).
+
+    For evaluations f(x_i) on the blowup coset g*H (|H| = N', g = GENERATOR):
+
+        f(z) = (z^N' - g^N')/(N' g^N') * sum_i f(x_i) * x_i / (z - x_i)
+
+    The device computes the raw sums S_c = sum_i f_c(x_i) * x_i * inv(x_i-z)
+    per member matrix; the host multiplies by the scalar factor
+    -(z^N'-g^N')/(N' g^N') (the sign folds inv(x_i-z) = -inv(z-x_i)).  The
+    original domain's shift is irrelevant - the values live on the GENERATOR
+    coset after the LDE.
+
+    ONE PROGRAM PER GROUP (round-5 lesson: the previous all-groups fused
+    program's HLO at 2^22-row signatures crashed the tunnel's remote-compile
+    helper; group programs are small, reusable across rounds, and the extra
+    dispatches are ~0.1 ms each).
+
+    Output: (sum(widths), 4) canonical RAW SUM array.
+    """
+
+    def impl(mats, z, pts):
+        z_dev = xe.from_array(xf.to_monty(z))
+        xz = xe.esub(
+            xe.from_base(pts),
+            tuple(jnp.broadcast_to(z_dev[t], pts.shape) for t in range(4)),
+        )
+        # w_i = x_i * inv(x_i - z), EF planes
+        w = xe.emul_base(xe.einv(xz), pts)
+        accs = [
+            tuple(_fsum_rows(xf.fmul(m, w[t][:, None])) for t in range(4))
+            for m in mats
+        ]
+        acc = (
+            accs[0]
+            if len(accs) == 1
+            else tuple(jnp.concatenate([a[t] for a in accs]) for t in range(4))
+        )
+        return xf.from_monty(jnp.stack(acc, axis=-1))
+
+    from ..utils.aot import jit_aot
+
+    return jit_aot(("open_evalg", domain_key, widths), impl)
+
+
+def _ro_plan(sig: tuple):
+    """Static reduced-opening plan: (log_h, zi, members, c0, w_total) per
+    (height, point) group.
 
     Alpha-power counters are per (height, point): quotients at DIFFERENT
     points have distinct poles, so their contributions cannot cancel even
     with shared alpha powers; columns at the SAME point always get distinct
-    consecutive powers.  Matrices sharing (height, point) are reduced over
-    concatenated columns.  Returns (plan, jitted fn); the plan carries the
-    static (group -> alpha-power offset) assignment the host needs to
-    compute the exact `s` sums.
+    consecutive powers.
     """
     groups: Dict[tuple, list] = {}
     for r, mats in enumerate(sig):
@@ -431,47 +535,86 @@ def _ro_program(sig: tuple):
         c0 = counters.get((log_h, zi), 0)
         plan.append((log_h, zi, tuple(members), c0, w_total))
         counters[(log_h, zi)] = c0 + w_total
-    heights = sorted({log_h for log_h, _zi, _m, _c, _w in plan})
+    return plan
 
-    def impl(ldes, alpha_pows, s_vals, zs, pts):
-        # alpha_pows: (A, 4) canonical; s_vals[g]: (4,) canonical;
-        # zs[zi]: (4,) canonical; pts[log_h]: (h,) MONTY domain points.
-        ro = {log_h: xe.ezeros((1 << log_h,)) for log_h in heights}
-        inv_cache = {}
-        for g, (log_h, zi, members, c0, w_total) in enumerate(plan):
-            key = (log_h, zi)
-            if key not in inv_cache:
-                xm = pts[log_h]
-                z_dev = xe.from_array(xf.to_monty(zs[zi]))
-                xz = xe.esub(
-                    xe.from_base(xm),
-                    tuple(jnp.broadcast_to(z_dev[t], xm.shape) for t in range(4)),
-                )
-                inv_cache[key] = xe.einv(xz)
-            off = c0
-            pairs = []
-            for r, i, _pi, w in members:
-                pairs.append((ldes[(r, i)], alpha_pows[off : off + w]))
-                off += w
-            ro[log_h] = _ro_accum_traced(
-                ro[log_h], pairs, s_vals[g], inv_cache[key]
-            )
-        return {log_h: xe.to_array(v) for log_h, v in ro.items()}
+
+@lru_cache(maxsize=None)
+def _ro_group_program(log_h: int, widths: tuple, first: bool):
+    """Accumulate ONE (height, point) group into the height's reduced
+    opening: ro += (sum_k alpha^k f_k(x) - S) * inv(x - z).  One small
+    program per group (see _open_eval_group_program for why); `first` groups
+    start from zero instead of taking an input accumulator."""
+
+    def impl(ro_in, mats, aps, s, z, pts):
+        z_dev = xe.from_array(xf.to_monty(z))
+        xz = xe.esub(
+            xe.from_base(pts),
+            tuple(jnp.broadcast_to(z_dev[t], pts.shape) for t in range(4)),
+        )
+        inv_xz = xe.einv(xz)
+        ro = xe.ezeros((1 << log_h,)) if first else xe.from_array(ro_in)
+        ro = _ro_accum_traced(ro, list(zip(mats, aps)), s, inv_xz)
+        return xe.to_array(ro)
 
     from ..utils.aot import jit_aot
 
-    return plan, jit_aot(("ro", sig), impl)
+    return jit_aot(("rog", log_h, widths, first), impl)
+
+
+@lru_cache(maxsize=None)
+def _ro_src_group_program(log_n: int, shift: int, widths: tuple, first: bool):
+    """LOW-MEMORY reduced-opening accumulation from SOURCE-domain evals.
+
+    For members living on shift*H_{2^log_n}, the group's contribution to the
+    LDE-domain reduced opening is the polynomial
+
+        q(X) = (g(X) - g(z)) / (X - z),   g = sum_k alpha^{c0+k} f_k,
+
+    whose source-domain values are (g(x) - S) * inv(x - z) (exact division:
+    S = g(z)); ONE 4-column coset LDE carries them to GENERATOR*H_{2^(n+1)},
+    bit-identical to evaluating sum alpha^k (f_k(x)-y_k)/(x-z) directly on
+    the (twice as large, no longer resident) LDEs."""
+
+    def impl(ro_in, mats, aps, s, z, pts, aux):
+        z_dev = xe.from_array(xf.to_monty(z))
+        xz = xe.esub(
+            xe.from_base(pts),
+            tuple(jnp.broadcast_to(z_dev[t], pts.shape) for t in range(4)),
+        )
+        inv_xz = xe.einv(xz)
+        q = _ro_accum_traced(
+            xe.ezeros((1 << log_n,)), list(zip(mats, aps)), s, inv_xz
+        )
+        _c, q_lde = _lde_traced(xe.to_array(q), log_n, aux, (shift, log_n))
+        contrib = xe.from_array(q_lde)
+        if first:
+            return xe.to_array(contrib)
+        return xe.to_array(xe.eadd(xe.from_array(ro_in), contrib))
+
+    from ..utils.aot import jit_aot
+
+    return jit_aot(("rosrc", log_n, shift, widths, first), impl)
 
 
 def _open_sig(rounds, zmap: Dict[tuple, int]) -> tuple:
     sig = []
     for data, points_per_mat in rounds:
         mats = []
-        for domain, lde, pts in zip(data.domains, data.ldes, points_per_mat):
+        for (log_n, shift, w), pts in zip(data.sig, points_per_mat):
             zis = tuple(zmap.setdefault(z, len(zmap)) for z in pts)
-            mats.append((domain.log_n, domain.shift, int(lde.shape[1]), zis))
+            mats.append((log_n, shift, w, zis))
         sig.append(tuple(mats))
     return tuple(sig)
+
+
+def _bary_factor(log_m: int, shift: int, z: tuple) -> tuple:
+    """-(z^M - s^M) / (M * s^M): the host scalar completing the barycentric
+    raw sums on the coset shift*H_M (the sign folds inv(x-z) = -inv(z-x))."""
+    m = 1 << log_m
+    s_m = pow(shift, m, P)
+    num = efh.add_base(efh.epow(z, m), P - s_m)  # z^M - s^M
+    den_inv = pow(m * s_m % P, P - 2, P)
+    return efh.neg(efh.mul_base(num, den_inv))
 
 
 def pcs_open(
@@ -479,15 +622,13 @@ def pcs_open(
     challenger: DuplexChallenger,
     num_queries: int,
     pow_bits: int,
-    free_after_use: Optional[Sequence[bool]] = None,
 ):
     """Open rounds at EF points.
 
     rounds: (data, points_per_matrix) where points_per_matrix[i] is the list
-    of EF4 host tuples for matrix i.
-    free_after_use: retained for API compatibility; since the barycentric
-    rewrite no coefficient buffers exist to free (LDEs stay live through the
-    query openings).
+    of EF4 host tuples for matrix i.  Low-memory rounds (data.lowmem)
+    evaluate openings/reduced openings from their source-domain eval
+    matrices and rebuild LDEs+trees per round at query time.
     Returns (opened_values, PcsProof); opened_values[r][i][p] = list of EF
     tuples per column.
     """
@@ -498,47 +639,62 @@ def pcs_open(
     _t0 = _time.time()
     from ..utils.transfer import fetch_all
 
-    # 1. Evaluate all openings barycentrically from the LDEs: ONE program.
+    # 1. Evaluate all openings barycentrically: one small program per
+    # evaluation unit, dispatched asynchronously.  Normal rounds read the
+    # resident LDEs per (LDE height, point) group; low-memory rounds read
+    # the (half-size) source evals per (source domain, point).
     zmap: Dict[tuple, int] = {}
     sig = _open_sig(rounds, zmap)
     z_by_index = {zi: z for z, zi in zmap.items()}
-    group_list, eval_fn = _open_eval_program(sig)
+    group_list = _open_groups(sig)
 
-    lde_args = {
-        (r, i): data.ldes[i]
-        for r, (data, _pts) in enumerate(rounds)
-        for i in range(len(data.ldes))
-    }
-    pts_args = {
-        log_h: _lde_points_dev(log_h) for log_h, _zi in dict(group_list)
-    }
     zs_args = {
         zi: jnp.asarray(np.array(z_by_index[zi], np.uint32))
         for _lh, zi in dict(group_list)
     }
-    eval_pieces = eval_fn(lde_args, zs_args, pts_args)
+    # units: (domain_log, domain_shift, zi, members) - members keep their
+    # (r, i, pi) identity for value assembly.
+    units = []
+    for (log_h, zi), members in group_list:
+        normal = [(r, i, pi) for r, i, pi in members if not rounds[r][0].lowmem]
+        if normal:
+            units.append((log_h, GENERATOR, zi, tuple(normal), False))
+        by_dom: Dict[tuple, list] = {}
+        for r, i, pi in members:
+            if rounds[r][0].lowmem:
+                log_n, shift, _w = rounds[r][0].sig[i]
+                by_dom.setdefault((log_n, shift), []).append((r, i, pi))
+        for (log_n, shift), ms in sorted(by_dom.items()):
+            units.append((log_n, shift, zi, tuple(ms), True))
+
+    eval_pieces = []
+    for log_m, shift, zi, members, lowmem in units:
+        mats = tuple(
+            rounds[r][0].evals[i] if lowmem else rounds[r][0].ldes[i]
+            for r, i, _pi in members
+        )
+        widths = tuple(int(m.shape[1]) for m in mats)
+        eval_pieces.append(
+            _open_eval_group_program((log_m, shift), widths)(
+                mats, zs_args[zi], _domain_points_dev(log_m, shift)
+            )
+        )
 
     opened_values = [
         [[None] * len(pts) for pts in points_per_mat] for _, points_per_mat in rounds
     ]
     # ONE blocking transfer; host applies the scalar barycentric factor.
     factor_cache: Dict[tuple, tuple] = {}
-    for ys_raw, ((log_h, zi), members) in zip(
-        fetch_all(list(eval_pieces)), group_list
+    for ys_raw, (log_m, shift, zi, members, _lm) in zip(
+        fetch_all(list(eval_pieces)), units
     ):
-        key = (log_h, zi)
+        key = (log_m, shift, zi)
         if key not in factor_cache:
-            z = z_by_index[zi]
-            n_p = 1 << log_h
-            g_n = pow(GENERATOR, n_p, P)
-            num = efh.add_base(efh.epow(z, n_p), P - g_n)  # z^N' - g^N'
-            den_inv = pow(n_p * g_n % P, P - 2, P)
-            # sign: device sums used inv(x_i - z) = -inv(z - x_i)
-            factor_cache[key] = efh.neg(efh.mul_base(num, den_inv))
+            factor_cache[key] = _bary_factor(log_m, shift, z_by_index[zi])
         factor = factor_cache[key]
         off = 0
         for r, i, pi in members:
-            w = rounds[r][0].ldes[i].shape[1]
+            w = rounds[r][0].sig[i][2]
             opened_values[r][i][pi] = [
                 efh.mul(factor, tuple(int(x) for x in y))
                 for y in ys_raw[off : off + w]
@@ -558,40 +714,63 @@ def pcs_open(
                     challenger.observe_slice(list(y))
     alpha = challenger.sample_ext()
 
-    # 3. Build per-height reduced openings: ONE fused program.
+    # 3. Build per-height reduced openings: one small program per
+    # (height, point) group, chained per height.
     alpha_pows_host = _ef_powers_host(alpha, _total_alpha_budget(rounds))
-    ro_plan, ro_fn = _ro_program(sig)
+    ro_plan = _ro_plan(sig)
 
-    s_vals = []
+    ro_arrays: Dict[int, jnp.ndarray] = {}
+    _dummy = jnp.zeros((1, 4), jnp.uint32)
     for log_h, zi, members, c0, _w_total in ro_plan:
-        s = efh.ZERO
-        k = c0
-        for r, i, pi, _w in members:
-            for y in opened_values[r][i][pi]:
-                s = efh.add(s, efh.mul(alpha_pows_host[k], y))
-                k += 1
-        s_vals.append(np.array(s, np.uint32))
-    lde_args = {
-        (r, i): data.ldes[i]
-        for r, (data, _pts) in enumerate(rounds)
-        for i in range(len(data.ldes))
-    }
-    n_alpha = max(c0 + w for _lh, _zi, _m, c0, w in ro_plan) if ro_plan else 1
-    pts_args = {
-        log_h: _lde_points_dev(log_h)
-        for log_h in sorted({lh for lh, _zi, _m, _c, _w in ro_plan})
-    }
-    zs_args = {
-        zi: jnp.asarray(np.array(z_by_index[zi], np.uint32))
-        for _lh, zi, _m, _c, _w in ro_plan
-    }
-    ro_arrays = ro_fn(
-        lde_args,
-        jnp.asarray(np.array(alpha_pows_host[:n_alpha], np.uint32)),
-        [jnp.asarray(s) for s in s_vals],
-        zs_args,
-        pts_args,
-    )
+        # split the group into per-evaluation-domain sub-units, each with its
+        # members' own alpha-power slices and partial sum S (exact division
+        # holds per sub-unit: S_sub = g_sub(z)).
+        sub_units: Dict[tuple, list] = {}
+        off = c0
+        for r, i, pi, w in members:
+            if rounds[r][0].lowmem:
+                log_n, shift, _w2 = rounds[r][0].sig[i]
+                key = ("src", log_n, shift)
+            else:
+                key = ("lde",)
+            sub_units.setdefault(key, []).append((r, i, pi, w, off))
+            off += w
+        for key, ms in sorted(sub_units.items()):
+            s = efh.ZERO
+            for r, i, pi, w, m_off in ms:
+                k = m_off
+                for y in opened_values[r][i][pi]:
+                    s = efh.add(s, efh.mul(alpha_pows_host[k], y))
+                    k += 1
+            aps = tuple(
+                jnp.asarray(
+                    np.array(alpha_pows_host[m_off : m_off + w], np.uint32)
+                )
+                for _r, _i, _pi, w, m_off in ms
+            )
+            widths = tuple(w for _r, _i, _pi, w, _o in ms)
+            s_arg = jnp.asarray(np.array(s, np.uint32))
+            first = log_h not in ro_arrays
+            ro_in = ro_arrays.get(log_h, _dummy)
+            if key[0] == "lde":
+                mats = tuple(rounds[r][0].ldes[i] for r, i, _pi, _w, _o in ms)
+                ro_arrays[log_h] = _ro_group_program(log_h, widths, first)(
+                    ro_in, mats, aps, s_arg, zs_args[zi], _lde_points_dev(log_h)
+                )
+            else:
+                _tag, log_n, shift = key
+                mats = tuple(rounds[r][0].evals[i] for r, i, _pi, _w, _o in ms)
+                ro_arrays[log_h] = _ro_src_group_program(
+                    log_n, shift, widths, first
+                )(
+                    ro_in,
+                    mats,
+                    aps,
+                    s_arg,
+                    zs_args[zi],
+                    _domain_points_dev(log_n, shift),
+                    _commit_aux(((log_n, shift, 4),)),
+                )
     ro: Dict[int, tuple] = {log_h: xe.from_array(v) for log_h, v in ro_arrays.items()}
     _log.debug("open: reduced openings in %.3fs", _time.time() - _t0)
     _phases.add("reduced_open", _time.time() - _t0); _t0 = _time.time()
@@ -600,31 +779,50 @@ def pcs_open(
     fri_proof, indices = fri_prove(ro, challenger, LOG_BLOWUP, num_queries, pow_bits)
     _log.debug("open: fri_prove in %.3fs", _time.time() - _t0); _t0 = _time.time()
 
-    # 5. Input-batch openings at the query indices: ONE gather program for
-    # all rounds, then ONE blocking transfer.
+    # 5. Input-batch openings at the query indices.  Normal rounds: ONE
+    # gather program + ONE blocking transfer.  Low-memory rounds: rebuild
+    # the round's LDE blocks + digest layers + tree flat (same deterministic
+    # programs as the commit - the recomputed root is asserted against the
+    # committed one), gather, fetch, and FREE before the next round, so at
+    # most one round's LDEs are ever resident.
     from ..utils.transfer import fetch_all
 
     log_global = max(ro.keys())
     idx = np.asarray(indices, np.int64)
-    opened_many = mk.open_many_device(
-        [data.tree for data, _pts in rounds],
-        [
-            idx >> (log_global - (data.tree.max_height.bit_length() - 1))
-            for data, _pts in rounds
-        ],
+    per_round: List[Optional[Tuple[List[np.ndarray], np.ndarray]]] = [None] * len(
+        rounds
     )
-    pieces: List = []
-    piece_plan: List[int] = []
-    for rows_dev, paths_dev in opened_many:
-        pieces.extend(rows_dev)
-        pieces.append(paths_dev)
-        piece_plan.append(len(rows_dev))
-    fetched = fetch_all(pieces)
-    per_round: List[Tuple[List[np.ndarray], np.ndarray]] = []
-    off = 0
-    for n_rows in piece_plan:
-        per_round.append((fetched[off : off + n_rows], fetched[off + n_rows]))
-        off += n_rows + 1
+
+    normal_ids = [r for r, (d, _p) in enumerate(rounds) if not d.lowmem]
+    if normal_ids:
+        opened_many = mk.open_many_device(
+            [rounds[r][0].tree for r in normal_ids],
+            [
+                idx
+                >> (
+                    log_global
+                    - (rounds[r][0].tree.max_height.bit_length() - 1)
+                )
+                for r in normal_ids
+            ],
+        )
+        pieces: List = []
+        piece_plan: List[int] = []
+        for rows_dev, paths_dev in opened_many:
+            pieces.extend(rows_dev)
+            pieces.append(paths_dev)
+            piece_plan.append(len(rows_dev))
+        fetched = fetch_all(pieces)
+        off = 0
+        for r, n_rows in zip(normal_ids, piece_plan):
+            per_round[r] = (fetched[off : off + n_rows], fetched[off + n_rows])
+            off += n_rows + 1
+
+    for r, (data, _pts) in enumerate(rounds):
+        if not data.lowmem:
+            continue
+        per_round[r] = _lowmem_round_openings(data, idx, log_global)
+
     query_input_openings = []
     for q in range(num_queries):
         per_q = []
@@ -642,12 +840,71 @@ def pcs_open(
     return opened_values, PcsProof(fri=fri_proof, query_input_openings=query_input_openings)
 
 
+def _lowmem_round_openings(
+    data: PcsProverData, idx: np.ndarray, log_global: int
+):
+    """Rebuild one LOW-MEMORY round's commitment and gather its query rows +
+    sibling paths.  Returns (rows per matrix (Q, W_i), paths (Q, L, 8))."""
+    from ..utils.transfer import fetch_all
+
+    sig = data.sig
+    heights = tuple(1 << (ln + LOG_BLOWUP) for ln, _s, _w in sig)
+    block_lists: Dict[int, list] = {}
+    digests: Dict[int, jnp.ndarray] = {}
+    for log_lde, members in _group_sigs(sig):
+        group_blocks = []
+        for i, (log_n, shift, w) in members:
+            aux1 = _commit_aux(((log_n, shift, w),))
+            blocks = [
+                _lde_block_program(log_n, shift, w, c0, c1)(data.evals[i], aux1)
+                for c0, c1 in _lde_spans(log_n, w)
+            ]
+            block_lists[i] = blocks
+            group_blocks.extend(blocks)
+        digests[1 << log_lde] = _digest_program(
+            log_lde, tuple(int(b.shape[1]) for b in group_blocks)
+        )(tuple(group_blocks), _rev_dev(log_lde))
+        del group_blocks
+    plan, tree_fn = _tree_program(heights)
+    flat, root_dev = tree_fn(digests)
+    del digests
+
+    # transient tree whose "matrices" are ALL blocks in matrix order (block
+    # heights equal their matrix's, so per-block row indices are identical)
+    all_blocks = []
+    n_blocks = []
+    for i in range(len(sig)):
+        all_blocks.extend(block_lists[i])
+        n_blocks.append(len(block_lists[i]))
+    tree = mk.MerkleTree(
+        matrices=all_blocks, plan=plan, flat=flat, root=None, bitrev=True
+    )
+    rows_dev, paths_dev = mk.open_many_device(
+        [tree], [idx >> (log_global - plan.log_max)]
+    )[0]
+    fetched = fetch_all(list(rows_dev) + [paths_dev, root_dev])
+    block_rows, paths, root = fetched[:-2], fetched[-2], fetched[-1]
+    assert [int(x) for x in root] == [int(x) for x in data.tree.root], (
+        "low-memory rebuild produced a different Merkle root"
+    )
+    rows: List[np.ndarray] = []
+    off = 0
+    for nb in n_blocks:
+        rows.append(
+            block_rows[off]
+            if nb == 1
+            else np.concatenate(block_rows[off : off + nb], axis=1)
+        )
+        off += nb
+    return rows, paths
+
+
 def _total_alpha_budget(rounds) -> int:
     per_height: Dict[int, int] = {}
     for data, points_per_mat in rounds:
-        for lde, pts in zip(data.ldes, points_per_mat):
-            log_h = lde.shape[0].bit_length() - 1
-            per_height[log_h] = per_height.get(log_h, 0) + lde.shape[1] * len(pts)
+        for (log_n, _s, w), pts in zip(data.sig, points_per_mat):
+            log_h = log_n + LOG_BLOWUP
+            per_height[log_h] = per_height.get(log_h, 0) + w * len(pts)
     return max(per_height.values()) if per_height else 1
 
 

@@ -296,9 +296,12 @@ class TpuProver(MachineProver):
             assert qdomain.log_n == log_degrees[i] + 1 and qdomain.shift == xf.GENERATOR
             prep_lde = None
             if chip.name in pk.chip_ordering:
-                prep_lde = pk.data.ldes[pk.chip_ordering[chip.name]]
-            main_lde = main_data.ldes[i]
-            perm_lde = perm_data.ldes[i]
+                prep_lde = pk.data.lde_blocks(pk.chip_ordering[chip.name])
+            # normal mode: the resident LDE (single block); low-memory mode:
+            # recomputed column blocks that die when this chip's quotient
+            # scan completes
+            main_lde = main_data.lde_blocks(i)
+            perm_lde = perm_data.lde_blocks(i)
             qvals = quotient_values(
                 chip,
                 trace_domains[i],
@@ -356,8 +359,6 @@ class TpuProver(MachineProver):
             challenger,
             num_queries=config.fri.num_queries,
             pow_bits=config.fri.proof_of_work_bits,
-            # per-prove rounds may be freed as consumed; pk.data persists
-            free_after_use=[False, True, True, True],
         )
         log.debug("opened multi batches in %.3fs", time.time() - t0)
         phases.add("pcs_open_total", time.time() - t0)

@@ -81,14 +81,24 @@ def _fsum_axis0(x):
     return xf.fsum_small(x, axis=0)
 
 
+def _blk_col(blocks, widths, i):
+    """Column i of a column-blocked matrix (list of (C, w_b) blocks)."""
+    off = 0
+    for b, w in zip(blocks, widths):
+        if i < off + w:
+            return b[:, i - off]
+        off += w
+    raise IndexError(i)
+
+
 def _quotient_chunk(
     chip: Chip,
     sels,  # dict of (C,) Monty selector chunks
-    prep,  # (C, PW) / None
+    prep,  # list of (C, w_b) blocks / None
     prep_next,
-    main,  # (C, W)
+    main,  # list of (C, w_b) blocks
     main_next,
-    perm,  # (C, PWperm*4)
+    perm,  # list of (C, w_b) blocks (PWperm*4 total)
     perm_next,
     alpha_m,  # (4,) Monty LogUp alpha challenge
     bp,  # (max_vals+1, 4) Monty beta powers
@@ -97,26 +107,37 @@ def _quotient_chunk(
     cumulative_sum,  # (4,) Monty EF
 ):
     """(C, 4) Monty EF4 quotient evals for one row chunk."""
-    c_rows = main.shape[0]
+    c_rows = main[0].shape[0]
     be = JnpBackend
-    perm_w = perm.shape[1] // 4
+    mw = [b.shape[1] for b in main]
+    pw = [b.shape[1] for b in perm]
+    perm_w = sum(pw) // 4
 
-    def perm_planes(mat, i):
-        return tuple(mat[:, 4 * i + k] for k in range(4))
+    def perm_planes(i):
+        return tuple(_blk_col(perm, pw, 4 * i + k) for k in range(4))
+
+    def perm_planes_next(i):
+        return tuple(_blk_col(perm_next, pw, 4 * i + k) for k in range(4))
+
+    prw = [b.shape[1] for b in prep] if prep is not None else []
 
     collected = []
     b = NumericBuilder(
         backend=be,
-        main_local=lambda i: V(be, main[:, i]),
-        main_next=lambda i: V(be, main_next[:, i]),
-        prep_local=(lambda i: V(be, prep[:, i])) if prep is not None else None,
-        prep_next=(lambda i: V(be, prep_next[:, i])) if prep_next is not None else None,
+        main_local=lambda i: V(be, _blk_col(main, mw, i)),
+        main_next=lambda i: V(be, _blk_col(main_next, mw, i)),
+        prep_local=(lambda i: V(be, _blk_col(prep, prw, i)))
+        if prep is not None
+        else None,
+        prep_next=(lambda i: V(be, _blk_col(prep_next, prw, i)))
+        if prep_next is not None
+        else None,
         is_first_row=V(be, sels["is_first_row"]),
         is_last_row=V(be, sels["is_last_row"]),
         is_transition=V(be, sels["is_transition"]),
         on_constraint=lambda v: collected.append((v.p, v.ext)),
-        perm_local=[V(be, perm_planes(perm, i), True) for i in range(perm_w)],
-        perm_next=[V(be, perm_planes(perm_next, i), True) for i in range(perm_w)],
+        perm_local=[V(be, perm_planes(i), True) for i in range(perm_w)],
+        perm_next=[V(be, perm_planes_next(i), True) for i in range(perm_w)],
         perm_challenges=[
             V(be, tuple(alpha_m[k] for k in range(4)), True),
             V(be, tuple(bp[1, k] for k in range(4)), True),
@@ -163,7 +184,12 @@ def _quotient_chunk(
 
 @lru_cache(maxsize=None)
 def _quotient_program(
-    chip_key, n_chunks: int, next_step: int, has_prep: bool, carry_next: bool
+    chip_key,
+    n_chunks: int,
+    next_step: int,
+    has_prep: bool,
+    carry_next: bool,
+    blk_sig: tuple = (),
 ):
     """Scan program per (chip, chunk count): the constraint graph is traced
     once as the scan body.
@@ -179,7 +205,20 @@ def _quotient_program(
     name = chip.name
 
     def impl(chunks, alpha_m, bp, base_w, ext_w, csum):
-        carried = ["main", "perm"] + (["prep"] if has_prep else [])
+        def blocks_of(xs, prefix):
+            out = []
+            j = 0
+            while f"{prefix}{j}" in xs:
+                out.append(xs[f"{prefix}{j}"])
+                j += 1
+            return out or None
+
+        carried = [
+            k
+            for k in sorted(chunks)
+            if any(k.startswith(p) for p in ("main", "perm", "prep"))
+            and not k.endswith("_next")
+        ]
 
         def eval_chunk(xs, nxt):
             sels = {
@@ -191,12 +230,12 @@ def _quotient_program(
             return _quotient_chunk(
                 chip,
                 sels,
-                xs.get("prep"),
-                nxt.get("prep"),
-                xs["main"],
-                nxt["main"],
-                xs["perm"],
-                nxt["perm"],
+                blocks_of(xs, "prep"),
+                blocks_of(nxt, "prep"),
+                blocks_of(xs, "main"),
+                blocks_of(nxt, "main"),
+                blocks_of(xs, "perm"),
+                blocks_of(nxt, "perm"),
                 alpha_m,
                 bp,
                 base_w,
@@ -227,12 +266,35 @@ def _quotient_program(
     from ..utils.aot import jit_aot
 
     return jit_aot(
-        ("quotient", name, n_chunks, next_step, has_prep, carry_next),
+        ("quotient", name, n_chunks, next_step, has_prep, carry_next, blk_sig),
         impl,
         # the traced graph runs the captured chip's eval (models/) lowered
         # through the device folder (stark/builder.py)
         deps=("models", "stark.builder"),
     )
+
+
+def quotient_block_widths(chip, trace_log_n: int, prep_width):
+    """The column-block widths the prover will pass for (chip, height):
+    single full-width blocks normally; ZKBF_BLK_W-col blocks at low-memory
+    heights (mirrors stark/pcs._blk_cfg on the LDE height)."""
+    from .pcs import LOG_BLOWUP, _blk_cfg, _blocked_spans
+
+    blk_log, blk_w = _blk_cfg()
+    widths = {
+        "main": chip.width,
+        "perm": chip.permutation_width * 4,
+        "prep": prep_width or 0,
+    }
+    out = {}
+    for k, w in widths.items():
+        if not w:
+            out[k] = ()
+        elif trace_log_n + LOG_BLOWUP >= blk_log:
+            out[k] = tuple(c1 - c0 for c0, c1 in _blocked_spans(w, blk_w))
+        else:
+            out[k] = (w,)
+    return out
 
 
 def warm_quotient(chip, trace_log_n: int, prep_width) -> None:
@@ -256,19 +318,17 @@ def warm_quotient(chip, trace_log_n: int, prep_width) -> None:
         "last": sds((n_chunks, CHUNK_Q)),
         "trans": sds((n_chunks, CHUNK_Q)),
         "invz": sds((n_chunks, CHUNK_Q)),
-        "main": sds((n_chunks, CHUNK_Q, chip.width)),
-        "perm": sds((n_chunks, CHUNK_Q, chip.permutation_width * 4)),
     }
-    if not carry_next:
-        chunks["main_next"] = sds((n_chunks, CHUNK_Q, chip.width))
-        chunks["perm_next"] = sds((n_chunks, CHUNK_Q, chip.permutation_width * 4))
-    if prep_width:
-        chunks["prep"] = sds((n_chunks, CHUNK_Q, prep_width))
-        if not carry_next:
-            chunks["prep_next"] = sds((n_chunks, CHUNK_Q, prep_width))
+    bw = quotient_block_widths(chip, trace_log_n, prep_width)
+    for prefix in ("main", "perm", "prep"):
+        for j, w in enumerate(bw[prefix]):
+            chunks[f"{prefix}{j}"] = sds((n_chunks, CHUNK_Q, w))
+            if not carry_next:
+                chunks[f"{prefix}{j}_next"] = sds((n_chunks, CHUNK_Q, w))
+    blk_sig = (bw["main"], bw["perm"], bw["prep"])
     _CHIP_BY_KEY[id(chip)] = chip
     _quotient_program(
-        id(chip), n_chunks, next_step, bool(prep_width), carry_next
+        id(chip), n_chunks, next_step, bool(prep_width), carry_next, blk_sig
     ).warm(
         chunks,
         sds((4,)),
@@ -289,12 +349,24 @@ def quotient_values(
     """Chunk-scanned quotient evaluation; one compiled program per
     (chip, chunk-count) - every quotient height <= CHUNK_Q shares one.
 
+    prep/main/perm_on_coset: (Nq, W) matrices OR lists of column blocks
+    (the low-memory path recomputes LDEs blocked and never concatenates).
+
     perm_challenges_host / alpha_host: exact host EF4 tuples (transcript
     samples); alpha's K powers and beta's value powers are computed host-side
     and enter the device program as small argument matrices - scalar EF
     multiply chains never appear in the traced graph.
     """
     from .permutation import host_beta_pows
+
+    def as_blocks(x):
+        if x is None:
+            return None
+        return list(x) if isinstance(x, (list, tuple)) else [x]
+
+    main_blocks = as_blocks(main_on_coset)
+    perm_blocks = as_blocks(perm_on_coset)
+    prep_blocks = as_blocks(prep_on_coset)
 
     flags = constraint_ext_flags(chip)
     k_total = len(flags)
@@ -328,23 +400,29 @@ def quotient_values(
         "last": chunked(sels_dev["is_last_row"]),
         "trans": chunked(sels_dev["is_transition"]),
         "invz": chunked(sels_dev["inv_zeroifier"]),
-        "main": chunked(main_on_coset),
-        "perm": chunked(perm_on_coset),
     }
     carry_next = pad == 0
-    if not carry_next:  # single small padded chunk: tiny rolled copies
-        chunks["main_next"] = chunked(jnp.roll(main_on_coset, -next_step, axis=0))
-        chunks["perm_next"] = chunked(jnp.roll(perm_on_coset, -next_step, axis=0))
-    if prep_on_coset is not None:
-        chunks["prep"] = chunked(prep_on_coset)
-        if not carry_next:
-            chunks["prep_next"] = chunked(
-                jnp.roll(prep_on_coset, -next_step, axis=0)
-            )
+    for prefix, blocks in (
+        ("main", main_blocks),
+        ("perm", perm_blocks),
+        ("prep", prep_blocks),
+    ):
+        if blocks is None:
+            continue
+        for j, b in enumerate(blocks):
+            chunks[f"{prefix}{j}"] = chunked(b)
+            if not carry_next:  # single small padded chunk: tiny rolled copies
+                chunks[f"{prefix}{j}_next"] = chunked(
+                    jnp.roll(b, -next_step, axis=0)
+                )
 
+    blk_sig = tuple(
+        tuple(int(b.shape[1]) for b in blocks) if blocks is not None else ()
+        for blocks in (main_blocks, perm_blocks, prep_blocks)
+    )
     _CHIP_BY_KEY[id(chip)] = chip
     fn = _quotient_program(
-        id(chip), n_chunks, next_step, prep_on_coset is not None, carry_next
+        id(chip), n_chunks, next_step, prep_blocks is not None, carry_next, blk_sig
     )
     qvals = fn(
         chunks,

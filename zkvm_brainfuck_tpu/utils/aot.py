@@ -472,6 +472,7 @@ def _mesh_jit(impl, mesh):
       input shardings, which ShapeDtypeStructs do not carry.
     """
     import jax
+    import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec, SingleDeviceSharding
 
     from ..parallel.mesh import ROWS_AXIS
@@ -479,12 +480,20 @@ def _mesh_jit(impl, mesh):
     repl = NamedSharding(mesh, PartitionSpec())
     rows = NamedSharding(mesh, PartitionSpec(ROWS_AXIS))
     n_dev = mesh.devices.size
+    multiproc = any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
     state = {}
 
     def replace(leaf):
         if isinstance(leaf, jax.Array) and isinstance(
             leaf.sharding, SingleDeviceSharding
         ):
+            if multiproc:
+                # cross-process replication goes via host: every process
+                # computes identical aux tables, so local values ARE the
+                # global values
+                return jax.device_put(np.asarray(leaf), repl)
             return jax.device_put(leaf, repl)
         return leaf
 

@@ -17,6 +17,29 @@ import os
 _done = False
 
 
+def _mark_done():
+    global _done
+    _done = True
+
+
+def ensure_cpu_isa_cap() -> None:
+    """Cap XLA:CPU codegen at AVX2 (idempotent; call BEFORE jax backend
+    init).
+
+    XLA:CPU on this image emits AMX/AVX512 executables whose own AOT loader
+    warns "+prefer-no-scatter ... could lead to execution errors such as
+    SIGILL" when reloading them.  Capping the ISA silences that hazard class
+    outright.  (It did NOT stop the persistent-cache deserialization
+    segfaults - those reproduced with capped, fresh-cache entries, which is
+    why the CPU persistent cache is disabled in enable_compilation_cache -
+    but it remains defense-in-depth for anyone re-enabling the cache, at
+    negligible test-speed cost.)  Harmless for TPU processes (the flag only
+    affects CPU compiles)."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_max_isa=AVX2").strip()
+
+
 def enable_cpu_fast_field():
     """On the CPU backend, enable x64 so field muls use native uint64.
 
@@ -29,45 +52,29 @@ def enable_cpu_fast_field():
         jax.config.update("jax_enable_x64", True)
 
 
-def _host_fingerprint() -> str:
-    """Short hash of this host's CPU feature flags.
-
-    The persistent cache stores XLA:CPU executables compiled for the exact
-    host microarchitecture; this image's home directory is SHARED across
-    machines with different avx512 feature sets, and loading a foreign
-    entry warns ("could lead to execution errors such as SIGILL") and was
-    observed to SEGFAULT the test suite mid-run (round 4).  Keying the
-    cache directory by the feature flags isolates hosts from each other.
-    """
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as fh:
-            for line in fh:
-                if line.startswith("flags"):
-                    return hashlib.sha256(line.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    import platform
-
-    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
-
-
 def enable_compilation_cache(path: str | None = None):
     global _done
     if _done:
         return
     import jax
 
-    # Host-fingerprint the CPU cache only: XLA:CPU executables are
-    # machine-specific (foreign entries segfault), while TPU executables are
-    # target-compiled server-side and SHOULD stay shared across hosts.
-    suffix = _host_fingerprint() if jax.default_backend() == "cpu" else ""
+    if jax.default_backend() == "cpu" and os.environ.get("ZKBF_CPU_CACHE") != "1":
+        # The persistent cache is DISABLED on the CPU backend: XLA:CPU
+        # executable DESERIALIZATION randomly segfaults in this jax version
+        # (round-5 finding - crashes in compilation_cache.get_executable_and
+        # _time reproduced with a fresh cache, matching machine features,
+        # serialized compiles, and an AVX2 ISA cap; neither the round-4
+        # host-fingerprint nor any of those mitigations stopped it).  The
+        # jax.export AOT layer (utils/aot.py) still skips tracing+lowering;
+        # XLA:CPU recompiles once per process.  Re-enable for experiments
+        # with ZKBF_CPU_CACHE=1.
+        _mark_done()
+        return
     cache_dir = (
         path
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
         or os.path.join(
-            os.path.expanduser("~"), ".cache", "zkvm_brainfuck_tpu", "xla", suffix
+            os.path.expanduser("~"), ".cache", "zkvm_brainfuck_tpu", "xla"
         )
     )
     os.makedirs(cache_dir, exist_ok=True)
